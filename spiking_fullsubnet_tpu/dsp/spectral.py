@@ -1,0 +1,209 @@
+"""Spectral transforms: STFT / iSTFT / mag-phase, framed for TPU.
+
+TPU-first design notes
+----------------------
+- The STFT is expressed as (pad -> frame-gather -> window -> rfft).  XLA lowers
+  the rfft of the framed [B*T_frames, n_fft] matrix onto the TPU efficiently and
+  fuses the windowing multiply into it; no per-frame Python looping exists.
+- The iSTFT overlap-add uses a scatter-add (`.at[].add`) over statically known
+  frame offsets, which XLA compiles to a single fused scatter. The window-square
+  normalization envelope is a compile-time constant for a given (T, n_fft, hop)
+  and is folded by XLA.
+- All shapes are static: the number of frames is a pure function of the input
+  length, so everything jits cleanly.
+
+Numerical conventions follow the reference implementation exactly (reference:
+audiozen/acoustics/audio_feature.py:236-347 wrapping torch.stft/istft with
+center=True, periodic hann window, pad_mode="constant", onesided) so that
+reference checkpoints produce allclose waveforms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def hann_window(n: int, dtype=jnp.float32) -> Array:
+    """Periodic Hann window, identical to ``torch.hann_window(n)``."""
+    return (0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(n) / n))).astype(dtype)
+
+
+def _pad_center(y: Array, n_fft: int, pad_mode: str) -> Array:
+    pad = n_fft // 2
+    cfg = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+    if pad_mode == "constant":
+        return jnp.pad(y, cfg)
+    elif pad_mode == "reflect":
+        return jnp.pad(y, cfg, mode="reflect")
+    else:
+        raise ValueError(f"Unsupported pad_mode: {pad_mode}")
+
+
+def num_frames(num_samples: int, n_fft: int, hop_length: int, center: bool = True) -> int:
+    """Number of STFT frames for a given signal length (static)."""
+    t = num_samples + 2 * (n_fft // 2) if center else num_samples
+    return 1 + (t - n_fft) // hop_length
+
+
+def frame_signal(y: Array, frame_length: int, hop_length: int) -> Array:
+    """Extract overlapping frames: [..., T] -> [..., n_frames, frame_length]."""
+    t = y.shape[-1]
+    n = 1 + (t - frame_length) // hop_length
+    idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
+    return y[..., idx]
+
+
+def stft_complex(
+    y: Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    *,
+    window: Optional[Array] = None,
+    center: bool = True,
+    pad_mode: str = "constant",
+    normalized: bool = False,
+) -> Array:
+    """Complex STFT matching ``torch.stft`` conventions. Returns [..., F, T]."""
+    if window is None:
+        window = hann_window(win_length, dtype=y.dtype)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        y = _pad_center(y, n_fft, pad_mode)
+    frames = frame_signal(y, n_fft, hop_length)  # [..., T_frames, n_fft]
+    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)  # [..., T_frames, F]
+    if normalized:
+        spec = spec * (1.0 / jnp.sqrt(jnp.asarray(n_fft, dtype=frames.dtype)))
+    return jnp.swapaxes(spec, -1, -2)  # [..., F, T_frames]
+
+
+def mag_phase(complex_spec: Array) -> Tuple[Array, Array]:
+    """Magnitude and phase of a complex spectrogram (reference audio_feature.py:223)."""
+    return jnp.abs(complex_spec), jnp.angle(complex_spec)
+
+
+def stft(
+    y: Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    output_type: Optional[Literal["mag_phase", "real_imag", "complex"]] = None,
+    **kwargs,
+):
+    """STFT wrapper with the reference's output_type surface.
+
+    Mirrors reference audio_feature.py:236-294: accepts [B, T] or [B, C, T],
+    hann window, pad_mode="constant", center=True; returns (mag, phase),
+    (real, imag), complex, or (mag, phase, real, imag).
+    """
+    if y.ndim not in (2, 3):
+        raise ValueError(f"Only single-/multi-channel signals supported, got ndim={y.ndim}")
+    spec = stft_complex(y, n_fft, hop_length, win_length, **kwargs)
+    if output_type == "mag_phase":
+        return mag_phase(spec)
+    elif output_type == "real_imag":
+        return spec.real, spec.imag
+    elif output_type == "complex":
+        return spec
+    else:
+        m, p = mag_phase(spec)
+        return m, p, spec.real, spec.imag
+
+
+def _ola_envelope(window: Array, n_frames: int, hop_length: int, dtype) -> Array:
+    """Overlap-added squared-window normalization envelope (length = full OLA span)."""
+    n_fft = window.shape[0]
+    t_full = n_fft + hop_length * (n_frames - 1)
+    wsq = (window.astype(dtype)) ** 2
+    env = jnp.zeros((t_full,), dtype=dtype)
+    offsets = jnp.arange(n_frames) * hop_length
+    idx = offsets[:, None] + jnp.arange(n_fft)[None, :]
+    env = env.at[idx.reshape(-1)].add(jnp.broadcast_to(wsq, (n_frames, n_fft)).reshape(-1))
+    return env
+
+
+def istft_complex(
+    spec: Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    length: Optional[int] = None,
+    *,
+    window: Optional[Array] = None,
+    center: bool = True,
+) -> Array:
+    """Inverse STFT matching ``torch.istft``. spec: [..., F, T] complex -> [..., T]."""
+    if window is None:
+        window = hann_window(win_length, dtype=jnp.float32)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    spec = jnp.swapaxes(spec, -1, -2)  # [..., T_frames, F]
+    n_frames = spec.shape[-2]
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [..., T_frames, n_fft]
+    frames = frames * window
+
+    t_full = n_fft + hop_length * (n_frames - 1)
+    lead_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, n_frames, n_fft))
+    idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
+    out = jnp.zeros((flat.shape[0], t_full), dtype=frames.dtype)
+    out = out.at[:, idx].add(flat.reshape(flat.shape[0], -1))
+
+    env = _ola_envelope(window, n_frames, hop_length, frames.dtype)
+    # Guard only against exact zeros at the trimmed borders; interior envelope is
+    # bounded away from 0 for COLA-satisfying (window, hop).
+    env = jnp.where(env > 1e-11, env, 1.0)
+    out = out / env
+
+    pad = n_fft // 2 if center else 0
+    if length is not None:
+        # torch.istft semantics: take `length` samples starting at the center
+        # pad, using the full OLA span (recovers the tail past the last hop).
+        end = pad + length
+        if end > t_full:
+            out = jnp.pad(out, [(0, 0), (0, end - t_full)])
+        out = out[:, pad:end]
+    else:
+        out = out[:, pad : t_full - pad]
+    return out.reshape(lead_shape + (out.shape[-1],))
+
+
+def istft(
+    feature: Union[Array, Tuple[Array, Array], Sequence[Array]],
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    length: Optional[int] = None,
+    input_type: Literal["mag_phase", "real_imag", "complex"] = "complex",
+) -> Array:
+    """iSTFT with the reference's input_type surface (audio_feature.py:297-347)."""
+    if input_type == "real_imag":
+        real, imag = feature
+        spec = jax.lax.complex(real, imag)
+    elif input_type == "complex":
+        spec = feature
+    elif input_type == "mag_phase":
+        mag, phase = feature
+        spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+    else:
+        raise ValueError(f"Unsupported input_type: {input_type}")
+    return istft_complex(spec, n_fft, hop_length, win_length, length=length)
+
+
+def make_stft_pair(n_fft: int, hop_length: int, win_length: int):
+    """Partial-applied (stft, istft) closures, the reference's functools.partial idiom
+    (modeling_spiking_fullsubnet.py:404-405)."""
+    return (
+        partial(stft, n_fft=n_fft, hop_length=hop_length, win_length=win_length),
+        partial(istft, n_fft=n_fft, hop_length=hop_length, win_length=win_length),
+    )

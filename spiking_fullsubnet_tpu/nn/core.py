@@ -1,0 +1,108 @@
+"""Minimal functional NN primitives (params = plain pytrees).
+
+This framework deliberately avoids a module system: every layer is an
+(init, apply) pair over an explicit parameter pytree, which keeps jit/pjit/
+scan/vmap transforms transparent and makes torch-checkpoint import a direct
+dict mapping. Initializers replicate torch defaults so randomly-initialized
+training matches the reference's distributional behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def uniform(rng, shape, bound: float, dtype=jnp.float32) -> Array:
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+# ---------------------------------------------------------------- Linear
+
+
+def linear_init(rng, in_features: int, out_features: int, bias: bool = True, dtype=jnp.float32):
+    """torch.nn.Linear default init: U(±1/sqrt(fan_in)) for weight and bias."""
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_features) if in_features > 0 else 0.0
+    params = {"weight": uniform(kw, (out_features, in_features), bound, dtype)}
+    if bias:
+        params["bias"] = uniform(kb, (out_features,), bound, dtype)
+    return params
+
+
+def linear_apply(params, x: Array) -> Array:
+    y = x @ params["weight"].T
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+# ---------------------------------------------------------------- LayerNorm
+
+
+def layer_norm_init(normalized_shape: int, dtype=jnp.float32):
+    return {
+        "weight": jnp.ones((normalized_shape,), dtype),
+        "bias": jnp.zeros((normalized_shape,), dtype),
+    }
+
+
+def layer_norm_apply(params, x: Array, eps: float = 1e-5) -> Array:
+    """torch.nn.LayerNorm over the last dim (biased variance)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    xhat = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xhat * params["weight"] + params["bias"]
+
+
+# ---------------------------------------------------------------- BatchNorm (1d)
+
+
+def batch_norm_init(num_features: int, dtype=jnp.float32):
+    params = {
+        "weight": jnp.ones((num_features,), dtype),
+        "bias": jnp.zeros((num_features,), dtype),
+    }
+    state = {
+        "running_mean": jnp.zeros((num_features,), dtype),
+        "running_var": jnp.ones((num_features,), dtype),
+    }
+    return params, state
+
+
+def batch_norm_stats(x: Array):
+    """Biased batch statistics over all axes but the last."""
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.mean(jnp.square(x - mean), axis=axes)
+    return mean, var
+
+
+def batch_norm_apply(params, x: Array, mean: Array, var: Array, eps: float = 1e-5) -> Array:
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * params["weight"] + params["bias"]
+
+
+# ---------------------------------------------------------------- activations
+
+_ACTIVATIONS = {
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "relu": jax.nn.relu,
+    "prelu": None,  # parameterized, handled by callers
+}
+
+
+def output_activation(name: Optional[str]):
+    """Reference convention: None/False/missing -> identity
+    (modeling_spiking_fullsubnet.py:54-61; TOML uses `false` for None)."""
+    if not name:
+        return lambda x: x
+    if name in _ACTIVATIONS and _ACTIVATIONS[name] is not None:
+        return _ACTIVATIONS[name]
+    raise NotImplementedError(f"Activation {name!r} not supported")

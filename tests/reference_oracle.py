@@ -1,0 +1,51 @@
+"""Helpers to load the upstream reference implementation as a *test oracle*.
+
+The reference at /root/reference is used read-only, imported (never copied)
+purely to produce golden tensors for numerical parity tests. Missing optional
+deps (librosa, soundfile, matplotlib) are stubbed out since the oracle paths
+we exercise never call them.
+"""
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub(name):
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        mod.__dict__["__getattr__"] = lambda *_a, **_k: None
+        sys.modules[name] = mod
+    return sys.modules[name]
+
+
+def add_reference_to_path():
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    # Optional deps the oracle modules import at module scope but never use
+    # in the code paths under test.
+    for name in ["librosa", "librosa.util", "soundfile", "matplotlib", "matplotlib.pyplot"]:
+        _stub(name)
+    sys.modules["librosa"].util = sys.modules["librosa.util"]
+    sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
+
+
+def import_reference_gsu():
+    """Returns the reference efficient_spiking_neuron module."""
+    add_reference_to_path()
+    import importlib
+
+    return importlib.import_module(
+        "audiozen.models.spiking_fullsubnet.efficient_spiking_neuron"
+    )
+
+
+def import_reference_model():
+    """Returns the reference modeling_spiking_fullsubnet module."""
+    add_reference_to_path()
+    import importlib
+
+    return importlib.import_module(
+        "audiozen.models.spiking_fullsubnet.modeling_spiking_fullsubnet"
+    )

@@ -1,0 +1,77 @@
+"""Benchmark: streaming-enhance throughput of the flagship model on one chip.
+
+Prints ONE JSON line:
+    {"metric": "audio_seconds_per_second_per_chip", "value": N,
+     "unit": "audio-s/s", "vs_baseline": R}
+
+value = seconds of 16 kHz audio enhanced per wall-clock second (steady state,
+batched utterances) on the live accelerator with the Spiking-FullSubNet M
+architecture (954k params, the published leaderboard model).
+
+vs_baseline = value / realtime, i.e. how many real-time streams one chip
+sustains (the reference publishes no wall-clock numbers — SURVEY.md §6 — so
+real-time x1 is the meaningful denominator for a streaming enhancer).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _flagship_bundle
+
+    bundle = _flagship_bundle()
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = bundle["params"], bundle["state"]
+
+    batch = 8
+    seconds = 30.0
+    sr = 16000
+    t = int(seconds * sr)
+
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((batch, t), dtype=np.float32) * 0.1)
+
+    @jax.jit
+    def forward(params, state, noisy):
+        y = apply_fn(cfg, params, state, noisy, train=False)["enhanced_y"]
+        # fused scalar checksum: reading it forces real device completion
+        # (block_until_ready alone is unreliable through remote-device tunnels)
+        return y, jnp.sum(jnp.abs(y[:, :: 997]))
+
+    # compile + warmup
+    _, chk = forward(params, state, noisy)
+    float(chk)
+
+    iters = 3
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _, chk = forward(params, state, noisy)
+        float(chk)  # sync point
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    audio_seconds = batch * seconds
+    value = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_second_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-s/s",
+                "vs_baseline": round(value / 1.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,15 +40,24 @@ def offline_laplace_norm(x, return_mu: bool = False):
 
 
 def cumulative_laplace_norm(x):
-    """Divide by causal running mean over (F, t<=T) (base_model.py:277-307)."""
-    b, c, f, t = x.shape
-    xr = x.reshape(b * c, f, t)
+    """Divide by causal running mean over (F, t<=T) (base_model.py:277-307).
+
+    Accepts [..., F, T]: all leading dims are flattened into batch. (The
+    reference only handles 4-D and crashes on the frozen recipe's 5-D
+    sub-band input — model_low_freq.py:475 with cumulative_laplace_norm —
+    so this build generalizes to the intended semantics.)
+    """
+    *lead, f, t = x.shape
+    b = 1
+    for d in lead:
+        b *= d
+    xr = x.reshape(b, f, t)
     step_sum = jnp.sum(xr, axis=1)  # [B*C, T]
     cum_sum = jnp.cumsum(step_sum, axis=-1)
     entry_count = jnp.arange(f, f * t + 1, f, dtype=x.dtype)[None, :]
     cum_mean = cum_sum / entry_count
     normed = xr / (cum_mean[:, None, :] + EPSILON)
-    return normed.reshape(b, c, f, t)
+    return normed.reshape(*lead, f, t)
 
 
 def offline_gaussian_norm(x):

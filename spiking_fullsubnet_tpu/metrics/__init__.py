@@ -1,0 +1,5 @@
+"""Evaluation metrics (maps reference layer 3, audiozen/metric.py)."""
+
+from .metrics import SISDR, STOI, PESQ, si_sdr_value
+from .neuromorphic import compute_synops, compute_neuronops
+from .dnsmos import DNSMOS, pDNSMOS

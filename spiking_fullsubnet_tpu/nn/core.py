@@ -94,15 +94,18 @@ _ACTIVATIONS = {
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
     "relu": jax.nn.relu,
-    "prelu": None,  # parameterized, handled by callers
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
 }
 
 
 def output_activation(name: Optional[str]):
     """Reference convention: None/False/missing -> identity
-    (modeling_spiking_fullsubnet.py:54-61; TOML uses `false` for None)."""
+    (modeling_spiking_fullsubnet.py:54-61; TOML uses `false` for None).
+    Accepts both generations' capitalizations ("tanh" / "Tanh")."""
     if not name:
         return lambda x: x
-    if name in _ACTIVATIONS and _ACTIVATIONS[name] is not None:
-        return _ACTIVATIONS[name]
+    key = str(name).lower()
+    if key in _ACTIVATIONS:
+        return _ACTIVATIONS[key]
     raise NotImplementedError(f"Activation {name!r} not supported")

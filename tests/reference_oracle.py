@@ -25,10 +25,24 @@ def add_reference_to_path():
         sys.path.insert(0, REFERENCE_ROOT)
     # Optional deps the oracle modules import at module scope but never use
     # in the code paths under test.
-    for name in ["librosa", "librosa.util", "soundfile", "matplotlib", "matplotlib.pyplot"]:
+    for name in [
+        "librosa",
+        "librosa.util",
+        "soundfile",
+        "matplotlib",
+        "matplotlib.pyplot",
+        "onnxruntime",
+        "pesq",
+        "pystoi",
+        "tqdm.contrib",
+        "tqdm.contrib.concurrent",
+    ]:
         _stub(name)
     sys.modules["librosa"].util = sys.modules["librosa.util"]
     sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
+    sys.modules["pesq"].pesq = lambda *a, **k: 0.0
+    sys.modules["pystoi"].stoi = lambda *a, **k: 0.0
+    sys.modules["tqdm.contrib.concurrent"].process_map = None
 
 
 def import_reference_gsu():
@@ -49,3 +63,16 @@ def import_reference_model():
     return importlib.import_module(
         "audiozen.models.spiking_fullsubnet.modeling_spiking_fullsubnet"
     )
+
+
+FREEZE_DIR = REFERENCE_ROOT + "/recipes/intel_ndns/spiking_fullsubnet_freeze_phase"
+
+
+def import_reference_separator():
+    """Returns the frozen competition model module (model_low_freq)."""
+    add_reference_to_path()
+    if FREEZE_DIR not in sys.path:
+        sys.path.insert(0, FREEZE_DIR)
+    import importlib
+
+    return importlib.import_module("model_low_freq")

@@ -1,0 +1,14 @@
+"""wsj0-mix 2-speaker separation CLI (mirrors reference recipes/wsj0-mix/
+spiking_fullsubnet/run.py surface)."""
+
+from pathlib import Path
+
+from spiking_fullsubnet_tpu.runtime.cli import main as _main
+
+
+def main(argv=None):
+    return _main(argv, recipe_dir=Path(__file__).parent)
+
+
+if __name__ == "__main__":
+    main()

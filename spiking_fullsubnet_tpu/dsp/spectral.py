@@ -118,16 +118,43 @@ def stft(
         return m, p, spec.real, spec.imag
 
 
+def overlap_add(frames: Array, hop_length: int) -> Array:
+    """Overlap-add [..., T_frames, frame_len] -> [..., frame_len + hop*(T-1)].
+
+    TPU-fast path: when hop divides frame_len (the COLA case used by every
+    recipe, e.g. 512/128), frames k, k+r, k+2r, ... (r = frame_len/hop) are
+    mutually non-overlapping, so OLA is r shifted reshapes summed — pure
+    vectorized adds, no scatter. Falls back to a scatter-add otherwise.
+    """
+    *lead, n_frames, frame_len = frames.shape
+    t_full = frame_len + hop_length * (n_frames - 1)
+    flat = frames.reshape((-1, n_frames, frame_len))
+    B = flat.shape[0]
+
+    if frame_len % hop_length == 0:
+        r = frame_len // hop_length
+        t2 = -(-n_frames // r) * r  # pad frame count to a multiple of r
+        if t2 != n_frames:
+            flat = jnp.pad(flat, ((0, 0), (0, t2 - n_frames), (0, 0)))
+        t_full2 = frame_len + hop_length * (t2 - 1)
+        total = jnp.zeros((B, t_full2), dtype=frames.dtype)
+        for k in range(r):
+            g = flat[:, k::r, :].reshape(B, (t2 // r) * frame_len)  # non-overlapping
+            total = total + jnp.pad(g, ((0, 0), (k * hop_length, (r - 1 - k) * hop_length)))
+        out = total[:, :t_full]
+    else:
+        idx = (
+            jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(frame_len)[None, :]
+        ).reshape(-1)
+        out = jnp.zeros((B, t_full), dtype=frames.dtype)
+        out = out.at[:, idx].add(flat.reshape(B, -1))
+    return out.reshape(tuple(lead) + (t_full,))
+
+
 def _ola_envelope(window: Array, n_frames: int, hop_length: int, dtype) -> Array:
     """Overlap-added squared-window normalization envelope (length = full OLA span)."""
-    n_fft = window.shape[0]
-    t_full = n_fft + hop_length * (n_frames - 1)
     wsq = (window.astype(dtype)) ** 2
-    env = jnp.zeros((t_full,), dtype=dtype)
-    offsets = jnp.arange(n_frames) * hop_length
-    idx = offsets[:, None] + jnp.arange(n_fft)[None, :]
-    env = env.at[idx.reshape(-1)].add(jnp.broadcast_to(wsq, (n_frames, n_fft)).reshape(-1))
-    return env
+    return overlap_add(jnp.broadcast_to(wsq, (n_frames, wsq.shape[0])), hop_length)
 
 
 def istft_complex(
@@ -154,10 +181,7 @@ def istft_complex(
 
     t_full = n_fft + hop_length * (n_frames - 1)
     lead_shape = frames.shape[:-2]
-    flat = frames.reshape((-1, n_frames, n_fft))
-    idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
-    out = jnp.zeros((flat.shape[0], t_full), dtype=frames.dtype)
-    out = out.at[:, idx].add(flat.reshape(flat.shape[0], -1))
+    out = overlap_add(frames, hop_length).reshape((-1, t_full))
 
     env = _ola_envelope(window, n_frames, hop_length, frames.dtype)
     # Guard only against exact zeros at the trimmed borders; interior envelope is

@@ -302,6 +302,17 @@ class Trainer:
         self._place_replicated()
         logger.info(f"Checkpoint on epoch {self.state.epochs_trained} is loaded.")
 
+    def _load_eval_weights(self, ckpt_path: str):
+        """Load weights for test/predict; a pre-imported torch checkpoint
+        (--torch_ckpt) takes precedence when no framework checkpoint exists."""
+        if getattr(self, "_ckpt_preloaded", False):
+            try:
+                self.ckpt_manager.resolve(ckpt_path)
+            except FileNotFoundError:
+                logger.info("Using pre-imported torch checkpoint weights for evaluation.")
+                return
+        self._load_checkpoint(ckpt_path)
+
     def _check_improvement(self, score, save_max_score=True):
         return score > self.state.best_score if save_max_score else score < self.state.best_score
 
@@ -443,7 +454,7 @@ class Trainer:
             dataloaders = [dataloaders]
         if self.optimizer is None:
             self._build_optimizer(max_steps=1)
-        self._load_checkpoint(ckpt_path)
+        self._load_eval_weights(ckpt_path)
         test_output = []
         for dataloader_idx, dataloader in enumerate(dataloaders):
             dataloader_out = []
@@ -460,7 +471,7 @@ class Trainer:
             dataloaders = [dataloaders]
         if self.optimizer is None:
             self._build_optimizer(max_steps=1)
-        self._load_checkpoint(ckpt_path)
+        self._load_eval_weights(ckpt_path)
         for dataloader_idx, dataloader in enumerate(dataloaders):
             for batch_idx, batch in enumerate(dataloader):
                 self.predict_step(batch, batch_idx, dataloader_idx)

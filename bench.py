@@ -25,6 +25,10 @@ import jax.numpy as jnp
 
 
 def main():
+    from spiking_fullsubnet_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _flagship_bundle
 
     bundle = _flagship_bundle()

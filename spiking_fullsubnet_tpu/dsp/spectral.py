@@ -118,20 +118,27 @@ def stft(
         return m, p, spec.real, spec.imag
 
 
+# OLA lowering strategy: "reshape" (default; scatter-free, best on TPU/CPU)
+# or "scatter" (compatibility fallback for backends where the reshape graph
+# hits unimplemented fusions — seen on remote-attached dev TPU tunnels).
+OLA_MODE = "reshape"
+
+
 def overlap_add(frames: Array, hop_length: int) -> Array:
     """Overlap-add [..., T_frames, frame_len] -> [..., frame_len + hop*(T-1)].
 
     TPU-fast path: when hop divides frame_len (the COLA case used by every
     recipe, e.g. 512/128), frames k, k+r, k+2r, ... (r = frame_len/hop) are
     mutually non-overlapping, so OLA is r shifted reshapes summed — pure
-    vectorized adds, no scatter. Falls back to a scatter-add otherwise.
+    vectorized adds, no scatter. Falls back to a scatter-add otherwise
+    (or when OLA_MODE == "scatter").
     """
     *lead, n_frames, frame_len = frames.shape
     t_full = frame_len + hop_length * (n_frames - 1)
     flat = frames.reshape((-1, n_frames, frame_len))
     B = flat.shape[0]
 
-    if frame_len % hop_length == 0:
+    if frame_len % hop_length == 0 and OLA_MODE == "reshape":
         r = frame_len // hop_length
         t2 = -(-n_frames // r) * r  # pad frame count to a multiple of r
         if t2 != n_frames:

@@ -43,29 +43,24 @@ def main():
     rng = np.random.default_rng(0)
     noisy = jnp.asarray(rng.standard_normal((batch, t), dtype=np.float32) * 0.1)
 
-    def make_forward():
-        @jax.jit
-        def forward(params, state, noisy):
-            y = apply_fn(cfg, params, state, noisy, train=False)["enhanced_y"]
-            # fused scalar checksum: reading it forces real device completion
-            # (block_until_ready alone is unreliable through remote tunnels)
-            return y, jnp.mean(jnp.abs(y))
-
-        return forward
-
-    forward = make_forward()
-    # compile + warmup; some dev-TPU backends miss fusions the reshape-OLA
-    # graph produces — fall back to the scatter OLA lowering in that case.
-    try:
-        _, chk = forward(params, state, noisy)
-        float(chk)
-    except Exception:
+    # The remote-attached dev-TPU ("axon") backend mis-handles the reshape-OLA
+    # lowering (hangs/UNIMPLEMENTED in its compile service); the scatter OLA
+    # is known-good there. Real TPU runtimes and CPU use the reshape path.
+    if jax.devices()[0].platform == "axon":
         from spiking_fullsubnet_tpu.dsp import spectral
 
         spectral.OLA_MODE = "scatter"
-        forward = make_forward()
-        _, chk = forward(params, state, noisy)
-        float(chk)
+
+    @jax.jit
+    def forward(params, state, noisy):
+        y = apply_fn(cfg, params, state, noisy, train=False)["enhanced_y"]
+        # fused scalar checksum: reading it forces real device completion
+        # (block_until_ready alone is unreliable through remote tunnels)
+        return y, jnp.mean(jnp.abs(y))
+
+    # compile + warmup
+    _, chk = forward(params, state, noisy)
+    float(chk)
 
     iters = 3
     times = []

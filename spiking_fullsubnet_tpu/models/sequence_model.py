@@ -61,6 +61,12 @@ def sequence_model_init(rng, cfg: SequenceModelConfig, dtype=jnp.float32):
     elif cfg.sequence_model == "LSTM":
         params["stack"] = lstm_init(k_stack, cfg.input_size, cfg.hidden_size, cfg.num_layers, dtype=dtype)
         state["stack"] = {}
+    elif cfg.sequence_model in ("LIF", "ALIF"):
+        from ..ops.lif import lif_dense_init
+
+        sizes = [cfg.input_size] + [cfg.hidden_size] * cfg.num_layers
+        params["stack"] = lif_dense_init(k_stack, sizes, dtype)
+        state["stack"] = {}
     else:
         raise NotImplementedError(f"Sequence model {cfg.sequence_model} not implemented.")
     if cfg.proj_size > 0:
@@ -98,6 +104,14 @@ def sequence_model_apply(
         )
         new_state = dict(state)
         new_state["stack"] = new_stack_state
+    elif cfg.sequence_model in ("LIF", "ALIF"):
+        # ALIF leaderboard-row backbone (freeze-phase neuron.py LIF family):
+        # dense + (adaptive) leaky integrate-and-fire per layer, spikes out.
+        from ..ops.lif import lif_dense_apply
+
+        out, all_layer_outputs = lif_dense_apply(
+            params["stack"], xt, adaptive=(cfg.sequence_model == "ALIF"), last_layer_spikes=True
+        )
     else:  # LSTM: the reference LSTM path returns no layer outputs (forward_lstm)
         out = lstm_apply(params["stack"], xt, cfg.hidden_size)
         all_layer_outputs = []

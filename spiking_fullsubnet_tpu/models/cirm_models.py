@@ -46,6 +46,7 @@ class CirmModelConfig:
     sequence_model: str = "LSTM"  # "GSN" => cirm_gsn, "LSTM" => cirm_lstm
     num_spks: int = 2
     pad_to_hop: bool = False  # cirm_lstm pads input to a hop multiple (:184-185)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" (params stay f32)
 
     def fb_config(self) -> SequenceModelConfig:
         return SequenceModelConfig(
@@ -58,6 +59,7 @@ class CirmModelConfig:
             output_activate_function=self.output_activate_function or None,
             bn=self.bn,
             use_pre_layer_norm=self.use_pre_layer_norm_fb,
+            compute_dtype=self.compute_dtype,
         )
 
 

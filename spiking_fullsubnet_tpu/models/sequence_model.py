@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from einops import rearrange
 
 from ..nn.core import (
+    cast_floating,
     layer_norm_apply,
     layer_norm_init,
     linear_apply,
@@ -40,6 +41,10 @@ class SequenceModelConfig:
     output_activate_function: Optional[str] = None
     bn: bool = False
     use_pre_layer_norm: bool = True
+    # Mixed precision: run the recurrence/matmuls in this dtype (e.g.
+    # "bfloat16" for the TPU MXU) while params/state/optimizer stay float32.
+    # None = full precision. BN running statistics always update in float32.
+    compute_dtype: Optional[str] = None
 
 
 def sequence_model_init(rng, cfg: SequenceModelConfig, dtype=jnp.float32):
@@ -89,6 +94,15 @@ def sequence_model_apply(
     """
     assert x.ndim == 3, f"Input tensor must be 3D, but got {x.ndim}D."
     xt = jnp.transpose(x, (2, 0, 1))  # [T, B, F]
+
+    out_dtype = xt.dtype
+    if cfg.compute_dtype is not None:
+        # Cast-at-boundary mixed precision: the scans/matmuls below run in
+        # compute_dtype; grads return in float32 via astype's transpose.
+        cdt = jnp.dtype(cfg.compute_dtype)
+        xt = xt.astype(cdt)
+        params = cast_floating(params, cdt)
+
     if cfg.use_pre_layer_norm:
         xt = layer_norm_apply(params["pre_ln"], xt)
 
@@ -123,6 +137,8 @@ def sequence_model_apply(
 
     out = output_activation(cfg.output_activate_function)(out)
     out = jnp.transpose(out, (1, 2, 0))  # [B, F', T]
+    if cfg.compute_dtype is not None:
+        out = out.astype(out_dtype)
     return out, all_layer_outputs, new_state
 
 

@@ -78,6 +78,9 @@ class SpikingFullSubNetConfig:
     shared_weights: bool = False
     sequence_model: str = "GSN"
     num_spks: int = 1
+    # Mixed precision for the fb/sb recurrences ("bfloat16" on TPU); the
+    # complex deep-filtering/istft signal path stays float32 regardless.
+    compute_dtype: Optional[str] = None
 
     @property
     def num_freqs(self) -> int:
@@ -106,6 +109,7 @@ class SpikingFullSubNetConfig:
             output_activate_function=self.fb_output_activate_function or None,
             bn=self.bn,
             use_pre_layer_norm=self.use_pre_layer_norm_fb,
+            compute_dtype=self.compute_dtype,
         )
 
     def sb_config(self, idx: int) -> SequenceModelConfig:
@@ -123,6 +127,7 @@ class SpikingFullSubNetConfig:
             output_activate_function=None,
             bn=self.bn,
             use_pre_layer_norm=self.use_pre_layer_norm_sb,
+            compute_dtype=self.compute_dtype,
         )
 
 

@@ -22,6 +22,25 @@ def uniform(rng, shape, bound: float, dtype=jnp.float32) -> Array:
     return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
 
 
+def cast_floating(tree, dtype):
+    """Cast every real floating leaf of a pytree to `dtype`.
+
+    The mixed-precision policy: parameters live in float32 (master copy held
+    by the optimizer); compute casts them to bfloat16 at the model boundary.
+    Because the cast happens inside the autodiff region, cotangents flow back
+    through `astype` and gradients land in float32 automatically. Integer and
+    complex leaves pass through untouched.
+    """
+    dt = jnp.dtype(dtype)
+
+    def _cast(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dt)
+        return x
+
+    return jax.tree.map(_cast, tree)
+
+
 # ---------------------------------------------------------------- Linear
 
 

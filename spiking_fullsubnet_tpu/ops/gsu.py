@@ -134,35 +134,53 @@ def _gsu_layer_apply(
     bn_eps: float = 1e-5,
     init_state: Optional[Tuple[Array, Array]] = None,
 ):
-    """One GSU layer over a full sequence. Returns (spikes [T,B,H], new_bn_state)."""
+    """One GSU layer over a full sequence. Returns (spikes [T,B,H], new_bn_state).
+
+    Mixed precision: when x/params arrive as bfloat16, the two matmuls run in
+    bf16 with float32 accumulation (the MXU's native mode) and all gate/
+    membrane/BN elementwise math stays float32 — spike thresholding on a bf16
+    membrane flips near-threshold neurons and wrecks parity, so only the
+    matmul *inputs* are low-precision. Spikes are exact in either dtype; the
+    recurrent carry h is kept in x.dtype to feed the next matmul directly.
+    """
     T, B, F = x.shape
     H = hidden_size
+    mixed = x.dtype != jnp.float32
+    acc_dtype = jnp.float32 if mixed else x.dtype
     w_ih = params["weight_ih"]
-    w_hh = params["weight_hh"]
-    b = params["bias_ih"]
+    w_hh_t = params["weight_hh"].T
+    b = params["bias_ih"].astype(acc_dtype)
     b_f, b_c = b[:H], b[H:]
 
     # Hoisted input projection: one [T*B, F] @ [F, rows] MXU matmul.
-    xg = x.reshape(T * B, F) @ w_ih.T
+    xg = jnp.matmul(x.reshape(T * B, F), w_ih.T, preferred_element_type=acc_dtype)
     xg = xg.reshape(T, B, -1)
 
     use_bn = "bn" in params
     if use_bn and not train:
-        # Eval BN is a constant affine: scale/shift folded outside the scan.
+        # Eval BN is a constant affine: scale/shift folded outside the scan,
+        # in float32 (running stats are always f32).
         rm = bn_state["bn"]["running_mean"]
         rv = bn_state["bn"]["running_var"]
-        bn_scale = params["bn"]["weight"] * jax.lax.rsqrt(rv + bn_eps)
-        bn_shift = params["bn"]["bias"] - rm * bn_scale
+        w32 = params["bn"]["weight"].astype(rv.dtype)
+        b32 = params["bn"]["bias"].astype(rv.dtype)
+        bn_scale = (w32 * jax.lax.rsqrt(rv + bn_eps)).astype(acc_dtype)
+        bn_shift = (b32 - rm * (w32 * jax.lax.rsqrt(rv + bn_eps))).astype(acc_dtype)
+    if use_bn and train:
+        bn_w = params["bn"]["weight"].astype(acc_dtype)
+        bn_b = params["bn"]["bias"].astype(acc_dtype)
 
     if init_state is None:
         h0 = jnp.zeros((B, H), x.dtype)
-        c0 = jnp.zeros((B, H), x.dtype)
+        c0 = jnp.zeros((B, H), acc_dtype)
     else:
         h0, c0 = init_state
+        h0 = h0.astype(x.dtype)
+        c0 = c0.astype(acc_dtype)
 
     def step(carry, xg_t):
         h, c = carry
-        rg = h @ w_hh.T  # [B, H] or [B, 2H]
+        rg = jnp.matmul(h, w_hh_t, preferred_element_type=acc_dtype)  # [B, H|2H]
         if shared_weights:
             f_in = xg_t + rg + b_f
             c_in = xg_t + rg + b_c
@@ -176,7 +194,7 @@ def _gsu_layer_apply(
                 mean = jnp.mean(cy, axis=0)
                 var = jnp.mean(jnp.square(cy - mean), axis=0)
                 cy = (cy - mean) * jax.lax.rsqrt(var + bn_eps)
-                cy = cy * params["bn"]["weight"] + params["bn"]["bias"]
+                cy = cy * bn_w + bn_b
                 stats = (mean, var)
             else:
                 cy = cy * bn_scale + bn_shift
@@ -184,7 +202,7 @@ def _gsu_layer_apply(
         else:
             stats = ()
         hy = spike(cy)
-        return (hy, cy), (hy, stats)
+        return (hy.astype(x.dtype), cy), (hy.astype(x.dtype), stats)
 
     (_, _), (spikes, stats) = jax.lax.scan(step, (h0, c0), xg)
 
@@ -194,8 +212,13 @@ def _gsu_layer_apply(
         # torch updates running stats once per step:
         #   r <- (1-m) r + m * stat   (var uses the unbiased estimator)
         # Closed form over T steps keeps this out of the scan carry.
+        # Running stats always accumulate in their own (float32) dtype even
+        # when the scan runs in bfloat16.
+        stat_dtype = bn_state["bn"]["running_mean"].dtype
+        means = means.astype(stat_dtype)
+        vars_ = vars_.astype(stat_dtype)
         m = bn_momentum
-        decay = (1.0 - m) ** jnp.arange(T - 1, -1, -1, dtype=x.dtype)  # [(1-m)^(T-1-t)]
+        decay = (1.0 - m) ** jnp.arange(T - 1, -1, -1, dtype=stat_dtype)  # [(1-m)^(T-1-t)]
         unbiased = vars_ * (B / max(B - 1, 1))
         new_mean = (1.0 - m) ** T * bn_state["bn"]["running_mean"] + m * jnp.einsum(
             "t,th->h", decay, means

@@ -31,11 +31,17 @@ def main():
 
     from __graft_entry__ import _flagship_bundle
 
-    bundle = _flagship_bundle()
+    # Deployment configuration: the fused single-scan forward (one lax.scan
+    # over frames instead of one per GSU layer per stack — keeps inter-layer
+    # spike handoffs out of HBM) + bf16 matmuls with f32 membranes (quality
+    # parity vs f32 verified on the competition checkpoint,
+    # tests/test_mixed_precision.py). Measured on v5e: layered f32 batch 8 =
+    # ~3.9k audio-s/s; fused bf16 batch 256 = ~14.4k.
+    bundle = _flagship_bundle(scan_mode="fused", compute_dtype="bfloat16")
     cfg, apply_fn = bundle["config"], bundle["apply"]
     params, state = bundle["params"], bundle["state"]
 
-    batch = 8
+    batch = 256
     seconds = 30.0
     sr = 16000
     t = int(seconds * sr)
@@ -62,7 +68,7 @@ def main():
     _, chk = forward(params, state, noisy)
     float(chk)
 
-    iters = 3
+    iters = 4
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()

@@ -1,0 +1,327 @@
+"""Fused single-scan forward for Spiking-FullSubNet.
+
+The layered forward (spiking_fullsubnet.py) runs one `lax.scan` per GSU layer
+per stack: 2 x (1 fullband + num_sections sub-band) = 8 sequential scans of T
+steps each. Every step is a tiny matmul, so on TPU the model is bound by scan
+-iteration dispatch overhead (~us/step), not FLOPs. But the whole model is
+causal per-STFT-frame — the sub-band stack at frame t consumes only the
+fullband output at frame t (the unfolds act on the frequency axis, never on
+time; reference call graph at modeling_spiking_fullsubnet.py:415-474). So the
+entire fb -> unfold -> sb pipeline legally fuses into ONE scan over frames,
+cutting sequential scan iterations 8x. Deep filtering and the iSTFT stay
+outside the scan (they are time-parallel).
+
+What stays hoisted OUT of the scan (big MXU matmuls / gathers):
+- STFT, magnitude compression, fullband pre-LayerNorm (per-frame op applied
+  to the whole sequence at once),
+- the fullband FIRST layer's input projection xg = x @ W_ih^T over [T*B, F],
+- the noisy-magnitude frequency unfolds per section (pure gathers),
+- deep filtering, Nyquist passthrough, iSTFT, synops tensor assembly.
+
+What runs per step: fb layer cells, fb projection, the fullband-output
+frequency gather (static indices), sub-band pre-LN + cells + projection per
+section. Numerics match the layered path op-for-op; only matmul summation
+order differs (input projections computed per-frame instead of batched over
+T*B), which perturbs membranes at ~1e-7 in f32 — near-threshold neurons can
+flip, exactly as between our layered path and the reference's per-step torch
+loop. Tests therefore check exact equality in f64 and quality-parity in f32.
+
+Supports train=True (per-step BatchNorm batch statistics, identical to
+ops/gsu.py semantics) and the bf16 compute_dtype policy (bf16 matmuls, f32
+accumulation/membranes). norm_type must be None (the latest-generation
+model); the frozen generation's offline norms need full-sequence statistics
+between fb and sb and keep the layered path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange, repeat
+
+from ..dsp.spectral import istft_complex, stft_complex
+from ..nn.core import cast_floating, layer_norm_apply, linear_apply, output_activation
+from ..ops.deep_filter import deep_filter
+from ..ops.freq_unfold import freq_unfold
+from ..ops.gsu import bn_running_update, spike
+
+Array = jax.Array
+
+
+def _reflect_unfold_indices(lo: int, hi: int, ctr: int, nbr: int, num_freqs: int) -> np.ndarray:
+    """Static gather indices replicating freq_unfold's section reflect-pad
+    (ops/freq_unfold.py:43-58) directly into the full [num_freqs] axis."""
+    n = (hi - lo) // ctr
+    width = ctr + 2 * nbr
+    pos = lo - nbr + np.arange(n)[:, None] * ctr + np.arange(width)[None, :]
+    pos = np.abs(pos)  # left reflect around bin 0
+    over = pos - (num_freqs - 1)
+    pos = np.where(over > 0, (num_freqs - 1) - over, pos)  # right reflect
+    return pos  # [N, width]
+
+
+def _cell_step(layer_params, xg_t, rg_in, hidden: int, shared: bool, c, acc_dtype,
+               bn_mode: Optional[str], bn_aux, compute_dtype):
+    """One GSU cell timestep. xg_t: precomputed input gates [R, rows] (already
+    in acc_dtype); rg_in: recurrent input spikes [R, H] (compute dtype).
+    Returns (hy, cy, stats). Math identical to ops/gsu._gsu_layer_apply."""
+    w_hh_t = layer_params["weight_hh"].T
+    b = layer_params["bias_ih"].astype(acc_dtype)
+    b_f, b_c = b[:hidden], b[hidden:]
+    rg = jnp.matmul(rg_in, w_hh_t, preferred_element_type=acc_dtype)
+    if shared:
+        f_in = xg_t + rg + b_f
+        c_in = xg_t + rg + b_c
+    else:
+        f_in = xg_t[:, :hidden] + rg[:, :hidden] + b_f
+        c_in = xg_t[:, hidden:] + rg[:, hidden:] + b_c
+    f = jax.nn.sigmoid(f_in)
+    cy = f * c + (1.0 - f) * c_in
+    stats = ()
+    if bn_mode == "train":
+        bn_w, bn_b = bn_aux
+        mean = jnp.mean(cy, axis=0)
+        var = jnp.mean(jnp.square(cy - mean), axis=0)
+        cy = (cy - mean) * jax.lax.rsqrt(var + 1e-5)
+        cy = cy * bn_w + bn_b
+        stats = (mean, var)
+    elif bn_mode == "eval":
+        bn_scale, bn_shift = bn_aux
+        cy = cy * bn_scale + bn_shift
+    hy = spike(cy)
+    return hy.astype(compute_dtype), cy, stats
+
+
+def _stack_step_aux(seq_cfg, params, state, train: bool, acc_dtype):
+    """Per-layer BN auxiliaries for a stack: (mode, aux) per layer."""
+    out = []
+    for lp, ls in zip(params["stack"]["layers"], state["stack"]["layers"]):
+        if "bn" not in lp:
+            out.append((None, None))
+        elif train:
+            out.append(("train", (lp["bn"]["weight"].astype(acc_dtype),
+                                  lp["bn"]["bias"].astype(acc_dtype))))
+        else:
+            rm = ls["bn"]["running_mean"]
+            rv = ls["bn"]["running_var"]
+            w32 = lp["bn"]["weight"].astype(rv.dtype)
+            b32 = lp["bn"]["bias"].astype(rv.dtype)
+            scale = w32 * jax.lax.rsqrt(rv + 1e-5)
+            out.append(("eval", (scale.astype(acc_dtype), (b32 - rm * scale).astype(acc_dtype))))
+    return out
+
+
+def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: bool = False):
+    """Drop-in replacement for the layered spiking_fullsubnet_apply
+    (same output dict), executing the recurrent pipeline as ONE lax.scan."""
+    if cfg.norm_type is not None:
+        raise ValueError("fused scan supports norm_type=None (latest generation) only")
+    if cfg.sequence_model != "GSN":
+        raise ValueError("fused scan supports the GSN backbone only")
+
+    assert noisy_y.ndim == 2, f"Input tensor must be 2D, but got {noisy_y.ndim}D."
+    B, sequence_length = noisy_y.shape
+    # With no MP policy both dtypes track the input (so f64 tests stay exact);
+    # under bf16 the accumulators/membranes stay f32.
+    compute_dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else noisy_y.dtype
+    acc_dtype = jnp.float32 if cfg.compute_dtype else noisy_y.dtype
+    H_fb, H_sb = cfg.fb_hidden_size, cfg.sb_hidden_size
+    shared = cfg.shared_weights
+
+    spec = stft_complex(noisy_y, cfg.n_fft, cfg.hop_length, cfg.win_length)  # [B, F+1, T]
+    noisy_cmp = spec[:, None]
+    noisy_mag = jnp.abs(spec)[:, None] ** cfg.fdrc
+    noisy_mag = noisy_mag[..., :-1, :]  # [B, 1, 256, T]
+    T = noisy_mag.shape[-1]
+
+    fb_cfg = cfg.fb_config()
+    fb_params = cast_floating(params["fb"], compute_dtype) if cfg.compute_dtype else params["fb"]
+    sb_cfgs = [cfg.sb_config(i) for i in range(cfg.num_sections)]
+    sb_params = [
+        cast_floating(params["sb"][i], compute_dtype) if cfg.compute_dtype else params["sb"][i]
+        for i in range(cfg.num_sections)
+    ]
+
+    # ---- hoisted fullband preprocessing (whole sequence at once) ----
+    fb_in = rearrange(noisy_mag[..., : cfg.fb_input_size, :], "b c f t -> t b (c f)")
+    fb_in = fb_in.astype(compute_dtype)
+    if fb_cfg.use_pre_layer_norm:
+        fb_in = layer_norm_apply(fb_params["pre_ln"], fb_in)
+    w_ih0 = fb_params["stack"]["layers"][0]["weight_ih"]
+    xg_fb0 = jnp.matmul(
+        fb_in.reshape(T * B, -1), w_ih0.T, preferred_element_type=acc_dtype
+    ).reshape(T, B, -1)
+
+    # ---- hoisted noisy-magnitude unfolds per section (pure gathers) ----
+    noisy_sub_seq = []
+    sub_rows = []
+    for i in range(cfg.num_sections):
+        lo, hi = cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1]
+        ns = freq_unfold(noisy_mag, lo, hi, cfg.center_freq_sizes[i], cfg.neighbor_freq_sizes[i])
+        noisy_sub_seq.append(rearrange(ns, "b n c w t -> t (b n) (c w)").astype(compute_dtype))
+        sub_rows.append(B * ns.shape[1])
+
+    # static index maps for the per-step fullband-output unfolds
+    num_repeats = (cfg.n_fft // 2 + 1) // cfg.fb_input_size
+    full_f = cfg.num_freqs
+    fb_idx = [
+        jnp.asarray(
+            _reflect_unfold_indices(
+                cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1], cfg.fb_ctrs[i], cfg.fb_nbrs[i], full_f
+            )
+        )
+        for i in range(cfg.num_sections)
+    ]
+
+    fb_bn = _stack_step_aux(fb_cfg, fb_params, state["fb"], train, acc_dtype)
+    sb_bn = [
+        _stack_step_aux(sb_cfgs[i], sb_params[i], state["sb"][i], train, acc_dtype)
+        for i in range(cfg.num_sections)
+    ]
+
+    def zeros_hc(rows: int, h: int) -> Tuple[Array, Array]:
+        return jnp.zeros((rows, h), compute_dtype), jnp.zeros((rows, h), acc_dtype)
+
+    carry0 = {
+        "fb": [zeros_hc(B, H_fb) for _ in range(fb_cfg.num_layers)],
+        "sb": [[zeros_hc(sub_rows[i], H_sb) for _ in range(sb_cfgs[i].num_layers)]
+               for i in range(cfg.num_sections)],
+    }
+
+    def step(carry, xs):
+        xg0_t, noisy_t = xs  # [B, rows], list [R_i, w_i]
+        new_fb = []
+        out = None
+        fb_spikes = []
+        fb_stats = []
+        for li, (lp, (bn_mode, bn_aux)) in enumerate(zip(fb_params["stack"]["layers"], fb_bn)):
+            h, c = carry["fb"][li]
+            if li == 0:
+                xg_t = xg0_t
+            else:
+                xg_t = jnp.matmul(out, lp["weight_ih"].T, preferred_element_type=acc_dtype)
+            hy, cy, st = _cell_step(lp, xg_t, h, H_fb, shared, c, acc_dtype, bn_mode, bn_aux, compute_dtype)
+            new_fb.append((hy, cy))
+            fb_spikes.append(hy)
+            fb_stats.append(st)
+            out = hy
+        # synops records the projection pre-activation; the tiled fullband
+        # feature uses post-activation (sequence_model.py:119-125 ordering)
+        fb_proj = linear_apply(fb_params["proj"], out) if fb_cfg.proj_size > 0 else out
+        fb_act = output_activation(fb_cfg.output_activate_function)(fb_proj)  # [B, 64]
+        fb_full = jnp.tile(fb_act, (1, num_repeats))[:, :full_f]  # [B, 256]
+
+        new_sb = []
+        sb_outs = []
+        sb_inputs = []
+        sb_spikes = []
+        sb_stats = []
+        for i in range(cfg.num_sections):
+            scfg = sb_cfgs[i]
+            fb_sub = fb_full[:, fb_idx[i]]  # [B, N, w_fb]
+            fb_sub_flat = fb_sub.reshape(sub_rows[i], -1)
+            x_t = jnp.concatenate([noisy_t[i], fb_sub_flat], axis=-1)  # [R, w']
+            if scfg.use_pre_layer_norm:
+                x_t = layer_norm_apply(sb_params[i]["pre_ln"], x_t)
+            sb_inputs.append(x_t)
+            sec_states = []
+            sec_spikes = []
+            sec_stats = []
+            o = x_t
+            for li, (lp, (bn_mode, bn_aux)) in enumerate(zip(sb_params[i]["stack"]["layers"], sb_bn[i])):
+                h, c = carry["sb"][i][li]
+                xg_t = jnp.matmul(o, lp["weight_ih"].T, preferred_element_type=acc_dtype)
+                hy, cy, st = _cell_step(lp, xg_t, h, H_sb, shared, c, acc_dtype, bn_mode, bn_aux, compute_dtype)
+                sec_states.append((hy, cy))
+                sec_spikes.append(hy)
+                sec_stats.append(st)
+                o = hy
+            proj = linear_apply(sb_params[i]["proj"], o)  # pre-activation
+            new_sb.append(sec_states)
+            sb_outs.append(proj.astype(acc_dtype))
+            sb_spikes.append(sec_spikes)
+            sb_stats.append(sec_stats)
+
+        new_carry = {"fb": new_fb, "sb": new_sb}
+        ys = {
+            "fb_spikes": fb_spikes,
+            "fb_out": fb_proj.astype(acc_dtype),
+            "sb_inputs": sb_inputs,
+            "sb_spikes": sb_spikes,
+            "sb_outs": sb_outs,
+            "fb_stats": fb_stats,
+            "sb_stats": sb_stats,
+        }
+        return new_carry, ys
+
+    xs = (xg_fb0, noisy_sub_seq)
+    _, ys = jax.lax.scan(step, carry0, xs)
+
+    # ---- BN running-stat updates (closed form, matching ops/gsu.py) ----
+    new_state = state
+    if train and cfg.bn:
+        def upd(layer_state, st, rows):
+            means, vars_ = st  # [T, H]
+            return {"bn": bn_running_update(layer_state["bn"], means, vars_, rows)}
+
+        new_fb_layers = [
+            upd(ls, st, B) for ls, st in zip(state["fb"]["stack"]["layers"], ys["fb_stats"])
+        ]
+        new_sb = []
+        for i in range(cfg.num_sections):
+            new_sb.append({"stack": {"layers": [
+                upd(ls, st, sub_rows[i])
+                for ls, st in zip(state["sb"][i]["stack"]["layers"], ys["sb_stats"][i])
+            ]}})
+        new_state = {"fb": {"stack": {"layers": new_fb_layers}}, "sb": new_sb}
+
+    # ---- synops tensors (same layout as the layered path: time-major) ----
+    fb_all_layer_outputs = [fb_in] + list(ys["fb_spikes"]) + (
+        [ys["fb_out"]] if fb_cfg.proj_size > 0 else []
+    )
+    sb_all_layer_outputs = [
+        [ys["sb_inputs"][i]] + list(ys["sb_spikes"][i]) + [ys["sb_outs"][i]]
+        for i in range(cfg.num_sections)
+    ]
+
+    # ---- deep filtering (time-parallel, outside the scan) ----
+    num_filtered = 0
+    enh_list = []
+    for i, df_order in enumerate(cfg.df_orders):
+        act = output_activation(sb_cfgs[i].output_activate_function)
+        coef = rearrange(
+            act(ys["sb_outs"][i]),
+            "t (b n) (c fc df s) -> b df s (n fc) t c",
+            b=B, s=cfg.num_spks, c=2, df=df_order,
+        )
+        nf = coef.shape[3]
+        section_spec = noisy_cmp[..., num_filtered : num_filtered + nf, :]
+        enh = deep_filter(section_spec, coef, df_order, cfg.num_spks)
+        enh_list.append(enh)
+        num_filtered += nf
+
+    enh_freqs = jnp.concatenate(enh_list, axis=-2)
+    enh_stft = repeat(noisy_cmp, "b 1 f t -> b 1 s f t", s=cfg.num_spks)
+    enh_stft = enh_stft.at[..., :-1, :].set(enh_freqs)  # Nyquist passthrough
+
+    if cfg.num_spks > 1:
+        flat = rearrange(enh_stft, "b 1 s f t -> (b s) f t")
+        enh_y = istft_complex(flat, cfg.n_fft, cfg.hop_length, cfg.win_length, length=sequence_length)
+        enh_y = rearrange(enh_y, "(b s) t -> b s t", s=cfg.num_spks)
+        return {
+            "enhanced_y": enh_y,
+            "fb_all_layer_outputs": fb_all_layer_outputs,
+            "sb_all_layer_outputs": sb_all_layer_outputs,
+            "state": new_state,
+        }
+    flat = rearrange(enh_stft, "b 1 1 f t -> b f t")
+    return {
+        "enhanced_y": istft_complex(flat, cfg.n_fft, cfg.hop_length, cfg.win_length, length=sequence_length),
+        "enhanced_mag": jnp.abs(flat),
+        "fb_all_layer_outputs": fb_all_layer_outputs,
+        "sb_all_layer_outputs": sb_all_layer_outputs,
+        "state": new_state,
+    }

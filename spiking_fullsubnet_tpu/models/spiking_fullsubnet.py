@@ -81,6 +81,12 @@ class SpikingFullSubNetConfig:
     # Mixed precision for the fb/sb recurrences ("bfloat16" on TPU); the
     # complex deep-filtering/istft signal path stays float32 regardless.
     compute_dtype: Optional[str] = None
+    # Execution strategy: "layered" runs one lax.scan per GSU layer per stack
+    # (numerics reference); "fused" runs the whole causal fb->sb pipeline as
+    # ONE scan over STFT frames (8x fewer sequential scan iterations — the
+    # model is dispatch-bound on TPU, see models/fused_forward.py). Requires
+    # norm_type=None and the GSN backbone.
+    scan_mode: str = "layered"
 
     @property
     def num_freqs(self) -> int:
@@ -196,6 +202,11 @@ def spiking_fullsubnet_apply(
     """
     assert noisy_y.ndim == 2, f"Input tensor must be 2D, but got {noisy_y.ndim}D."
     _, sequence_length = noisy_y.shape
+
+    if cfg.scan_mode == "fused":
+        from .fused_forward import spiking_fullsubnet_fused_forward
+
+        return spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y, train)
 
     spec = stft_complex(noisy_y, cfg.n_fft, cfg.hop_length, cfg.win_length)  # [B, F, T]
     noisy_cmp = spec[:, None]  # [B, 1, F, T]

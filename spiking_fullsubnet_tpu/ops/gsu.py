@@ -145,7 +145,8 @@ def _gsu_layer_apply(
     """
     T, B, F = x.shape
     H = hidden_size
-    mixed = x.dtype != jnp.float32
+    # low-precision inputs (bf16/f16) accumulate in f32; f32/f64 stay as-is
+    mixed = x.dtype in (jnp.bfloat16, jnp.float16)
     acc_dtype = jnp.float32 if mixed else x.dtype
     w_ih = params["weight_ih"]
     w_hh_t = params["weight_hh"].T
@@ -209,26 +210,30 @@ def _gsu_layer_apply(
     new_state = bn_state
     if use_bn and train:
         means, vars_ = stats  # [T, H] each (biased var)
-        # torch updates running stats once per step:
-        #   r <- (1-m) r + m * stat   (var uses the unbiased estimator)
-        # Closed form over T steps keeps this out of the scan carry.
-        # Running stats always accumulate in their own (float32) dtype even
-        # when the scan runs in bfloat16.
-        stat_dtype = bn_state["bn"]["running_mean"].dtype
-        means = means.astype(stat_dtype)
-        vars_ = vars_.astype(stat_dtype)
-        m = bn_momentum
-        decay = (1.0 - m) ** jnp.arange(T - 1, -1, -1, dtype=stat_dtype)  # [(1-m)^(T-1-t)]
-        unbiased = vars_ * (B / max(B - 1, 1))
-        new_mean = (1.0 - m) ** T * bn_state["bn"]["running_mean"] + m * jnp.einsum(
-            "t,th->h", decay, means
-        )
-        new_var = (1.0 - m) ** T * bn_state["bn"]["running_var"] + m * jnp.einsum(
-            "t,th->h", decay, unbiased
-        )
-        new_state = {"bn": {"running_mean": new_mean, "running_var": new_var}}
+        new_state = {"bn": bn_running_update(bn_state["bn"], means, vars_, B, bn_momentum)}
 
     return spikes, new_state
+
+
+def bn_running_update(running: Dict[str, Array], means: Array, vars_: Array,
+                      batch_rows: int, momentum: float = 0.1) -> Dict[str, Array]:
+    """Fold T per-timestep BatchNorm batch stats into the running stats.
+
+    torch updates once per step: r <- (1-m) r + m * stat (var uses the
+    unbiased estimator); the closed form over T steps keeps the update out of
+    the scan carry. Stats always accumulate in their own (float32) dtype even
+    when the scan runs in bfloat16.
+    """
+    T = means.shape[0]
+    stat_dtype = running["running_mean"].dtype
+    means = means.astype(stat_dtype)
+    vars_ = vars_.astype(stat_dtype)
+    m = momentum
+    decay = (1.0 - m) ** jnp.arange(T - 1, -1, -1, dtype=stat_dtype)  # [(1-m)^(T-1-t)]
+    unbiased = vars_ * (batch_rows / max(batch_rows - 1, 1))
+    new_mean = (1.0 - m) ** T * running["running_mean"] + m * jnp.einsum("t,th->h", decay, means)
+    new_var = (1.0 - m) ** T * running["running_var"] + m * jnp.einsum("t,th->h", decay, unbiased)
+    return {"running_mean": new_mean, "running_var": new_var}
 
 
 def gsu_stack_apply(

@@ -2,9 +2,9 @@
 
 Re-design of reference audiozen/acoustics/io.py and the wav helpers in
 audio_feature.py:15-62,198-220.  The reference uses soundfile/librosa; this
-build uses a self-contained WAV reader/writer (scipy.io.wavfile + numpy) so
-the framework has no optional native audio deps. Resampling uses
-scipy.signal.resample_poly.
+build uses the framework's native C++ codec (native/wavio.cpp, compiled on
+first use) with a pure-Python scipy.io.wavfile fallback so nothing
+hard-depends on a toolchain. Resampling uses scipy.signal.resample_poly.
 """
 
 from __future__ import annotations
@@ -16,6 +16,8 @@ from typing import Optional, Tuple, Union
 import numpy as np
 from scipy.io import wavfile
 from scipy.signal import resample_poly
+
+from ..native import wavio as _native
 
 
 def _to_float(y: np.ndarray) -> np.ndarray:
@@ -30,10 +32,13 @@ def _to_float(y: np.ndarray) -> np.ndarray:
 
 def load_wav(wav_path: Union[str, Path], sr: Optional[int] = None) -> np.ndarray:
     """Load a wav file as float32 [T] (mono) or [C, T]. Optionally resample."""
-    orig_sr, y = wavfile.read(str(wav_path))
-    y = _to_float(np.asarray(y))
-    if y.ndim == 2:
-        y = y.T  # [C, T]
+    if _native.native_available():
+        y, orig_sr = _native.wav_read(wav_path)
+    else:
+        orig_sr, y = wavfile.read(str(wav_path))
+        y = _to_float(np.asarray(y))
+        if y.ndim == 2:
+            y = y.T  # [C, T]
     if sr is not None and sr != orig_sr:
         g = np.gcd(int(sr), int(orig_sr))
         y = resample_poly(y, sr // g, orig_sr // g, axis=-1).astype(np.float32)
@@ -42,6 +47,10 @@ def load_wav(wav_path: Union[str, Path], sr: Optional[int] = None) -> np.ndarray
 
 def save_wav(data, fpath: Union[str, Path], sr: int) -> None:
     """Write float32 waveform to a 16-bit PCM wav (audio_feature.py:213-220)."""
+    if _native.native_available():
+        y = np.asarray(data, dtype=np.float32).reshape(-1)
+        _native.wav_write(fpath, np.clip(y, -1.0, 1.0), sr)
+        return
     data = np.asarray(data)
     if data.ndim != 1:
         data = data.reshape(-1)

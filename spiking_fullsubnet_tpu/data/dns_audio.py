@@ -15,6 +15,7 @@ import re
 import numpy as np
 
 from ..dsp.io import load_wav, subsample
+from ..native import wavio as _native
 from .base_dataset import BaseDataset
 
 
@@ -36,6 +37,12 @@ class DNSAudio(BaseDataset):
         self.train = train
         self.sublen = sublen
         self.length = len(self.noisy_files)
+        # Native fast path: read ONLY the crop window (fseek + decode sublen
+        # seconds) instead of decoding the whole 30 s file and cropping in
+        # numpy. Value-identical to the slow path (same RNG draw, zero-pad
+        # past EOF == fix()'s zero-pad, 30 s truncation == never reading past
+        # the 30 s window).
+        self.use_native = _native.native_available()
 
     def __len__(self) -> int:
         return self.length
@@ -58,11 +65,27 @@ class DNSAudio(BaseDataset):
 
     def __getitem__(self, n: int):
         noisy_file, clean_file, _, metadata = self._get_filenames(n)
-        noisy_audio = load_wav(noisy_file)
-        clean_audio = load_wav(clean_file)
         sr = 16000
         num_samples = 30 * sr
         train_num_samples = self.sublen * sr
+
+        if self.use_native:
+            if self.train:
+                # same RNG stream as subsample(): one randint for the pair
+                start = int(np.random.randint(num_samples - train_num_samples))
+                noisy_audio, _ = _native.wav_read(
+                    noisy_file, offset=start, frames=train_num_samples, pad_to=train_num_samples
+                )
+                clean_audio, _ = _native.wav_read(
+                    clean_file, offset=start, frames=train_num_samples, pad_to=train_num_samples
+                )
+            else:
+                noisy_audio, _ = _native.wav_read(noisy_file, frames=num_samples, pad_to=num_samples)
+                clean_audio, _ = _native.wav_read(clean_file, frames=num_samples, pad_to=num_samples)
+            return noisy_audio, clean_audio, noisy_file
+
+        noisy_audio = load_wav(noisy_file)
+        clean_audio = load_wav(clean_file)
 
         def fix(y):
             if len(y) > num_samples:

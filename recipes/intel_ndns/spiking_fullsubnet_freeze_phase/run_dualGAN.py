@@ -1,4 +1,5 @@
-"""GAN variant CLI: adds a discriminator bundle (reference run_GAN.py)."""
+"""Dual-GAN freeze-phase CLI (reference run_dualGAN.py: model_g +
+model_d_sig + model_d_bak with per-model optimizers/schedulers)."""
 
 from pathlib import Path
 

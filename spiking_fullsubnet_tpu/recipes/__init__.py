@@ -7,3 +7,9 @@ recipe's trainer.py subclasses (and can override hooks)."""
 from .denoise import DenoiseTrainer
 from .separation import SeparationTrainer
 from .dereverb import DereverbTrainer
+from .gan import (
+    DualGanDenoiseTrainer,
+    GanDenoiseTrainer,
+    OnlyGenTrainer,
+    build_discriminator_bundles,
+)

@@ -24,10 +24,12 @@ def run(config, resume, modes, ckpt_path=None, extra_trainer_kwargs=None):
 
     seed = device_specific_seed(config["meta"].get("seed", 0))
 
-    model = instantiate(config["model"]["path"], args={"seed": seed} | config["model"]["args"])
-    optimizer_factory, base_lr = build_optimizer_factory(
-        config["optimizer"]["path"], config["optimizer"]["args"]
-    )
+    # The freeze-phase reference names its sections [model_g]/[optimizer_g]
+    # (run.py builds model_g + model_d); accept both spellings.
+    model_cfg = config.get("model") or config["model_g"]
+    optim_cfg = config.get("optimizer") or config["optimizer_g"]
+    model = instantiate(model_cfg["path"], args={"seed": seed} | model_cfg["args"])
+    optimizer_factory, base_lr = build_optimizer_factory(optim_cfg["path"], optim_cfg["args"])
     base_lr = scale_lr(base_lr)  # LR x sqrt(world) rule (reference run.py:31)
 
     loss_function = None

@@ -170,9 +170,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ optimizer / step
 
-    def _build_optimizer(self, max_steps: int):
+    def _generator_schedule(self, max_steps: int):
         num_warmup = get_warmup_steps(self.warmup_steps, max_steps, self.warmup_ratio)
-        self.lr_schedule = create_warmup_schedule(self.scheduler_name, self.base_lr, max_steps, num_warmup)
+        return create_warmup_schedule(self.scheduler_name, self.base_lr, max_steps, num_warmup)
+
+    def _build_optimizer(self, max_steps: int):
+        self.lr_schedule = self._generator_schedule(max_steps)
         tx = self.optimizer_factory(self.lr_schedule)
         if self.max_grad_norm and self.max_grad_norm > 0:
             tx = optax.chain(optax.clip_by_global_norm(float(self.max_grad_norm)), tx)

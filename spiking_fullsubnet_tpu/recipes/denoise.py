@@ -13,11 +13,12 @@ import logging
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
 from spiking_fullsubnet_tpu.losses import freq_mae, mag_mae, si_snr
-from spiking_fullsubnet_tpu.metrics import SISDR, STOI, compute_neuronops, compute_synops
+from spiking_fullsubnet_tpu.metrics import SISDR, STOI, compute_neuronops, synops_device
 from spiking_fullsubnet_tpu.runtime import Trainer as BaseTrainer
 from spiking_fullsubnet_tpu.parallel.dist import is_main_process
 
@@ -39,9 +40,24 @@ class DenoiseTrainer(BaseTrainer):
         self.north_star_metric = "si_sdr"
 
         cfg, apply_fn = self.model_config, self.model_apply
-        self._eval_forward = jax.jit(
-            lambda params, state, noisy: apply_fn(cfg, params, state, noisy, train=False)["enhanced_y"]
-        )
+        shared = bool(getattr(cfg, "shared_weights", True)) if cfg is not None else True
+
+        def eval_forward(params, state, noisy):
+            out = apply_fn(cfg, params, state, noisy, train=False)
+            enh = out["enhanced_y"]
+            if "fb_all_layer_outputs" in out:
+                # neuromorphic cost proxies reduce on device (leaderboard
+                # power_proxy/PDP columns; reference dualGAN trainer:117-137)
+                synops = synops_device(
+                    out["fb_all_layer_outputs"], out["sb_all_layer_outputs"], shared
+                )
+                neuronops = jnp.float32(
+                    compute_neuronops(out["fb_all_layer_outputs"], out["sb_all_layer_outputs"])
+                )
+                return enh, synops, neuronops
+            return enh, None, None
+
+        self._eval_forward = jax.jit(eval_forward)
 
     # pure jitted training step
     def training_step_fn(self, params, model_state, batch):
@@ -64,16 +80,21 @@ class DenoiseTrainer(BaseTrainer):
 
     def enhance(self, noisy_np: np.ndarray) -> np.ndarray:
         """Enhance a [B, T] batch with the current weights (eval mode)."""
-        return np.asarray(self._eval_forward(self.params, self.model_state, noisy_np))
+        return np.asarray(self._eval_forward(self.params, self.model_state, noisy_np)[0])
 
     def validation_step(self, batch, batch_idx, dataloader_idx=0):
         mix_y, ref_y = batch[0], batch[1]
-        est_y = self.enhance(mix_y)
+        est_y, synops, neuronops = self._eval_forward(self.params, self.model_state, mix_y)
+        est_y = np.asarray(est_y)
         outs = []
         for i in range(est_y.shape[0]):
             row = self.si_sdr(est_y[i], ref_y[i])
             if self.dns_mos is not None:
                 row = row | self.dns_mos(est_y[i])
+            if synops is not None:
+                # per-batch cost proxies, repeated per utterance (reference
+                # freeze trainer validation_step:117-137 does the same)
+                row = row | {"synops": float(synops), "neuron_ops": float(neuronops)}
             outs.append(row)
         return outs
 

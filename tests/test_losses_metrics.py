@@ -113,3 +113,22 @@ def test_synops_neuronops():
     assert abs(ours - ref) < 1e-6
     assert compute_synops(fb, sb, shared_weights=False) == pytest.approx(2 * ours)
     assert compute_neuronops(fb, sb) == sum(x.shape[-1] for x in fb) + sum(x.shape[-1] for x in sb[0])
+
+
+def test_synops_device_matches_host():
+    """jitted on-device synops (validation path) == host compute_synops."""
+    import jax
+    import jax.numpy as jnp
+
+    from spiking_fullsubnet_tpu.metrics import synops_device
+
+    rng = np.random.default_rng(1)
+    fb = [(rng.random((4, 2, d)) > 0.6).astype(np.float32) for d in (64, 32, 32, 64)]
+    sb = [[(rng.random((4, 6, d)) > 0.5).astype(np.float32) for d in (36, 16, 16, 24)]]
+    host = compute_synops(fb, sb, shared_weights=True)
+    dev = float(
+        jax.jit(lambda f, s: synops_device(f, s, shared_weights=True))(
+            [jnp.asarray(x) for x in fb], [[jnp.asarray(x) for x in s] for s in sb]
+        )
+    )
+    assert dev == pytest.approx(host, rel=1e-5)

@@ -33,7 +33,11 @@ def test_train_validate_resume(recipe_env):
     exp = recipe_env / "exp" / "tiny_synthetic"
     assert (exp / "checkpoints" / "best").exists()
     assert (exp / "checkpoints" / "epoch_0002").exists()
-    assert list((exp / "metrics").glob("dl_0_epoch_2_*_mean.csv"))
+    mean_csvs = list((exp / "metrics").glob("dl_0_epoch_2_*_mean.csv"))
+    assert mean_csvs
+    # neuromorphic cost proxies land in the metrics CSV (leaderboard columns)
+    header = mean_csvs[0].read_text().splitlines()[0]
+    assert "synops" in header and "neuron_ops" in header
     assert t.state.best_score > -100
 
     # resume: counters restore; max_epochs already reached -> no extra epochs

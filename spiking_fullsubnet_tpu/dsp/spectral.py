@@ -52,11 +52,69 @@ def num_frames(num_samples: int, n_fft: int, hop_length: int, center: bool = Tru
 
 
 def frame_signal(y: Array, frame_length: int, hop_length: int) -> Array:
-    """Extract overlapping frames: [..., T] -> [..., n_frames, frame_length]."""
+    """Extract overlapping frames: [..., T] -> [..., n_frames, frame_length].
+
+    Fast path when hop divides the frame length (every recipe: 512/128): view
+    the signal as hop-sized chunks and stack frame_length/hop shifted slices —
+    pure reshapes/slices that XLA lowers to copies, instead of a row gather
+    that materializes a random-access index map.
+    """
     t = y.shape[-1]
     n = 1 + (t - frame_length) // hop_length
+    if frame_length % hop_length == 0:
+        r = frame_length // hop_length
+        n_chunks = t // hop_length
+        chunks = y[..., : n_chunks * hop_length].reshape(y.shape[:-1] + (n_chunks, hop_length))
+        parts = [chunks[..., k : k + n, :] for k in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
     return y[..., idx]
+
+
+# DFT lowering strategy. On TPU the MXU is ~20x faster than XLA's generic
+# FFT lowering for STFT-sized transforms, so the rDFT is expressed as two
+# matmuls against constant cos/-sin matrices ("matmul"). CPU/GPU keep the
+# native FFT ("fft"). "auto" picks per-backend at trace time.
+DFT_MODE = "auto"
+
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def _use_matmul_dft(n_fft: int) -> bool:
+    if DFT_MODE == "matmul":
+        return True
+    if DFT_MODE == "fft":
+        return False
+    return jax.default_backend() in _TPU_PLATFORMS and n_fft <= 4096
+
+
+def _rdft_matrices(n_fft: int, dtype) -> Tuple[Array, Array]:
+    """Constant forward-rDFT matrices: cos[n,k], -sin[n,k] of shape
+    [n_fft, n_fft//2+1] so that rfft(x) == x @ cos + 1j * (x @ msin)."""
+    import numpy as np
+
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)[:, None]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return jnp.asarray(np.cos(ang), dtype=dtype), jnp.asarray(-np.sin(ang), dtype=dtype)
+
+
+def _irdft_matrices(n_fft: int, dtype) -> Tuple[Array, Array]:
+    """Constant inverse-rDFT matrices A, B of shape [n_fft//2+1, n_fft] so
+    that irfft(X) == X.real @ A + X.imag @ B (Hermitian weights folded in)."""
+    import numpy as np
+
+    f = n_fft // 2 + 1
+    k = np.arange(f)[:, None]
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((f, 1), 2.0)
+    w[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1, 0] = 1.0  # Nyquist bin counted once
+    a = w * np.cos(ang) / n_fft
+    b = -w * np.sin(ang) / n_fft
+    return jnp.asarray(a, dtype=dtype), jnp.asarray(b, dtype=dtype)
 
 
 def stft_complex(
@@ -78,10 +136,37 @@ def stft_complex(
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     if center:
         y = _pad_center(y, n_fft, pad_mode)
-    frames = frame_signal(y, n_fft, hop_length)  # [..., T_frames, n_fft]
-    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)  # [..., T_frames, F]
+    if _use_matmul_dft(n_fft):
+        real_dtype = jnp.finfo(y.dtype).dtype
+        cos_m, msin_m = _rdft_matrices(n_fft, real_dtype)
+        if n_fft % hop_length == 0:
+            # Fused framing+window+rDFT: view the signal as hop-sized chunks
+            # and accumulate r = n_fft/hop chunk-matmuls against hop-tall
+            # slices of the windowed DFT matrix. The [.., n_frames, n_fft]
+            # frame tensor is never materialized (it is ~4x the signal and
+            # dominates STFT time on TPU otherwise).
+            r = n_fft // hop_length
+            t = y.shape[-1]
+            n = 1 + (t - n_fft) // hop_length
+            m = n + r - 1  # chunks overlapped by the n frames
+            chunks = y[..., : m * hop_length].reshape(y.shape[:-1] + (m, hop_length))
+            w_cos = (window[:, None] * cos_m).reshape(r, hop_length, -1)
+            w_msin = (window[:, None] * msin_m).reshape(r, hop_length, -1)
+            re = im = 0.0
+            for k in range(r):
+                ck = chunks[..., k : k + n, :]
+                re = re + jnp.matmul(ck, w_cos[k], preferred_element_type=real_dtype)
+                im = im + jnp.matmul(ck, w_msin[k], preferred_element_type=real_dtype)
+        else:
+            frames = frame_signal(y, n_fft, hop_length) * window
+            re = jnp.matmul(frames, cos_m, preferred_element_type=real_dtype)
+            im = jnp.matmul(frames, msin_m, preferred_element_type=real_dtype)
+        spec = jax.lax.complex(re, im)
+    else:
+        frames = frame_signal(y, n_fft, hop_length) * window
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T_frames, F]
     if normalized:
-        spec = spec * (1.0 / jnp.sqrt(jnp.asarray(n_fft, dtype=frames.dtype)))
+        spec = spec * (1.0 / jnp.sqrt(jnp.asarray(n_fft, dtype=spec.real.dtype)))
     return jnp.swapaxes(spec, -1, -2)  # [..., F, T_frames]
 
 
@@ -183,7 +268,15 @@ def istft_complex(
 
     spec = jnp.swapaxes(spec, -1, -2)  # [..., T_frames, F]
     n_frames = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [..., T_frames, n_fft]
+    if _use_matmul_dft(n_fft):
+        real_dtype = jnp.finfo(jnp.result_type(spec.real)).dtype
+        a, b = _irdft_matrices(n_fft, real_dtype)
+        frames = (
+            jnp.matmul(spec.real, a, preferred_element_type=real_dtype)
+            + jnp.matmul(spec.imag, b, preferred_element_type=real_dtype)
+        )
+    else:
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [..., T_frames, n_fft]
     frames = frames * window
 
     t_full = n_fft + hop_length * (n_frames - 1)

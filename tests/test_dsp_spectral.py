@@ -107,6 +107,39 @@ def test_istft_non_hop_multiple_length():
     np.testing.assert_allclose(np.asarray(out), y, atol=1e-4)
 
 
+class TestMatmulDFT:
+    """The TPU lowering expresses the rDFT as constant-matrix matmuls
+    (spectral.DFT_MODE == "matmul"); it must agree with the FFT path."""
+
+    @pytest.fixture(autouse=True)
+    def _force_matmul(self, monkeypatch):
+        monkeypatch.setattr(spectral, "DFT_MODE", "matmul")
+
+    @pytest.mark.parametrize("n_fft,hop", [(512, 128), (256, 64), (512, 100)])
+    def test_stft_matches_torch(self, n_fft, hop):
+        # hop=100 does not divide n_fft -> exercises the non-fused branch
+        y = np.random.randn(3, 16000).astype(np.float32)
+        ours = np.asarray(spectral.stft_complex(jnp.asarray(y), n_fft, hop, n_fft))
+        ref = _torch_stft(y, n_fft, hop, n_fft)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+    def test_stft_normalized_fused(self):
+        # normalized=True on the fused chunk-matmul branch (no frames tensor)
+        y = np.random.randn(2, 9000).astype(np.float32)
+        ours = np.asarray(
+            spectral.stft_complex(jnp.asarray(y), 512, 128, 512, normalized=True)
+        )
+        ref = _torch_stft(y, 512, 128, 512, normalized=True)
+        np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-3)
+
+    def test_istft_roundtrip(self):
+        y = np.random.randn(1, 12345).astype(np.float32)
+        spec = spectral.stft_complex(jnp.asarray(y), 512, 128, 512)
+        out = spectral.istft(spec, 512, 128, 512, length=12345)
+        np.testing.assert_allclose(np.asarray(out), y, atol=2e-4)
+
+
 def test_multichannel_stft():
     y = np.random.randn(2, 3, 8000).astype(np.float32)
     spec = np.asarray(spectral.stft_complex(jnp.asarray(y), 512, 128, 512))

@@ -27,7 +27,9 @@ class Trainer(DenoiseTrainer):
             spec = stft_complex(noisy, n_fft, hop, win)
             mag, phase = jnp.abs(spec), jnp.angle(spec)
             enh_mag = apply_fn(cfg, params, state, mag, train=False)["enhanced_mag"]
-            return istft((enh_mag, phase), n_fft, hop, win, length=noisy.shape[-1], input_type="mag_phase")
+            wave = istft((enh_mag, phase), n_fft, hop, win, length=noisy.shape[-1], input_type="mag_phase")
+            # match the DenoiseTrainer eval contract (wave, synops, neuronops)
+            return wave, None, None
 
         self._eval_forward = jax.jit(eval_forward)
 

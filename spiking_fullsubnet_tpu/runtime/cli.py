@@ -40,13 +40,13 @@ def run(config, resume, modes, ckpt_path=None, extra_trainer_kwargs=None):
 
     train_dataloader = validate_dataloaders = test_dataloaders = None
 
-    if "train" in modes:
+    if "train" in modes or "finetune" in modes:
         train_dataset = instantiate(config["train_dataset"]["path"], args=config["train_dataset"]["args"])
         train_dataloader = DataLoader(
             dataset=train_dataset, shuffle=True, seed=seed, **config["train_dataset"]["dataloader"]
         )
 
-    if "train" in modes or "validate" in modes:
+    if "train" in modes or "finetune" in modes or "validate" in modes:
         val_cfgs = config["validate_dataset"]
         if not isinstance(val_cfgs, list):
             val_cfgs = [val_cfgs]
@@ -95,6 +95,10 @@ def run(config, resume, modes, ckpt_path=None, extra_trainer_kwargs=None):
             trainer.test(test_dataloaders, ckpt_path or config["meta"].get("ckpt_path", "best"))
         elif flag == "predict":
             trainer.predict(test_dataloaders, ckpt_path or config["meta"].get("ckpt_path", "best"))
+        elif flag == "finetune":
+            trainer.finetune(
+                train_dataloader, validate_dataloaders, ckpt_path or config["meta"].get("ckpt_path", "best")
+            )
         else:
             raise ValueError(f"Unknown mode: {flag}.")
     return trainer

@@ -425,6 +425,24 @@ class Trainer:
                 logger.info("Early stopping triggered, stopping training...")
                 break
 
+    def finetune(self, train_dataloader, validation_dataloaders, ckpt_path="best"):
+        """Warm-start the weights from a checkpoint, then train with a fresh
+        optimizer, schedule, and bookkeeping counters.
+
+        The reference CLI exposes `-M finetune` (recipes/intel_ndns/
+        spiking_fullsubnet/run.py:121) but raises NotImplementedError
+        (run.py:100-101); this implements the documented intent: load model
+        weights only — not optimizer moments or epoch/patience counters.
+        """
+        self._build_optimizer(max_steps=1)
+        self._load_eval_weights(ckpt_path)
+        self.state = TrainerState(save_max_score=self.save_max_score)
+        self.optimizer = None
+        self.opt_state = None
+        self.lr_schedule = None
+        self.resume = False
+        self.train(train_dataloader, validation_dataloaders)
+
     def _log_step(self, loss_dict, grad_norm):
         if is_main_process():
             if self.plot_norm:

@@ -45,6 +45,10 @@ class SequenceModelConfig:
     # "bfloat16" for the TPU MXU) while params/state/optimizer stay float32.
     # None = full precision. BN running statistics always update in float32.
     compute_dtype: Optional[str] = None
+    # GSU execution backend: "auto" picks the Pallas TPU kernels
+    # (ops/gsu_pallas.py) on TPU and the lax.scan reference elsewhere;
+    # "scan"/"pallas" force one.
+    backend: str = "auto"
 
 
 def sequence_model_init(rng, cfg: SequenceModelConfig, dtype=jnp.float32):
@@ -103,8 +107,10 @@ def sequence_model_apply(
         xt = xt.astype(cdt)
         params = cast_floating(params, cdt)
 
+    from ..nn.module_tracer import trace_activation
+
     if cfg.use_pre_layer_norm:
-        xt = layer_norm_apply(params["pre_ln"], xt)
+        xt = trace_activation("pre_ln", layer_norm_apply(params["pre_ln"], xt))
 
     new_state = state
     if cfg.sequence_model == "GSN":
@@ -115,6 +121,7 @@ def sequence_model_apply(
             cfg.hidden_size,
             cfg.shared_weights,
             train,
+            backend=cfg.backend,
         )
         new_state = dict(state)
         new_state["stack"] = new_stack_state
@@ -131,7 +138,7 @@ def sequence_model_apply(
         all_layer_outputs = []
 
     if cfg.proj_size > 0:
-        out = linear_apply(params["proj"], out)
+        out = trace_activation("proj", linear_apply(params["proj"], out))
         if cfg.sequence_model == "GSN":
             all_layer_outputs = all_layer_outputs + [out]
 

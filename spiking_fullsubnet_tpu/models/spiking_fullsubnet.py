@@ -38,6 +38,7 @@ from ..dsp.feature_norm import norm_wrapper
 from ..dsp.spectral import istft_complex, stft_complex
 from ..ops.deep_filter import deep_filter
 from ..ops.freq_unfold import freq_unfold
+from ..nn.module_tracer import module_scope
 from .sequence_model import (
     SequenceModelConfig,
     sequence_model_apply,
@@ -170,15 +171,16 @@ def _subband_forward(
         sb_input = jnp.concatenate([noisy_sub, fb_sub], axis=-2)
         if norm is not None:
             sb_input = norm(sb_input)
-        out, sb_layer_outputs, ns = subband_sequence_model_apply(
-            cfg.sb_config(idx),
-            params["sb"][idx],
-            state["sb"][idx],
-            sb_input,
-            cfg.df_orders[idx],
-            cfg.num_spks,
-            train,
-        )
+        with module_scope(f"sb{idx}"):
+            out, sb_layer_outputs, ns = subband_sequence_model_apply(
+                cfg.sb_config(idx),
+                params["sb"][idx],
+                state["sb"][idx],
+                sb_input,
+                cfg.df_orders[idx],
+                cfg.num_spks,
+                train,
+            )
         df_coef_list.append(out)
         all_layer_outputs.append(sb_layer_outputs)
         new_states.append(ns)
@@ -203,7 +205,26 @@ def spiking_fullsubnet_apply(
     assert noisy_y.ndim == 2, f"Input tensor must be 2D, but got {noisy_y.ndim}D."
     _, sequence_length = noisy_y.shape
 
-    if cfg.scan_mode == "fused":
+    scan_mode = cfg.scan_mode
+    if scan_mode == "auto":
+        # Measured on v5e (batch 64 train / 256 eval, 2026-08): training is
+        # 3.0x faster layered-on-Pallas-kernels than the fused XLA scan
+        # (the backward dominates and the Pallas vjp kernels win); offline
+        # enhance is fastest on the fused single-scan forward (the layered
+        # glue's HBM traffic outweighs the kernel gains at serving batch).
+        # The fused path requires the latest-generation config (no input
+        # norm, GSN backbone).
+        from ..ops import gsu_pallas
+
+        fused_ok = cfg.norm_type is None and cfg.sequence_model == "GSN"
+        if train and gsu_pallas.available() and cfg.sequence_model == "GSN":
+            scan_mode = "layered"
+        elif fused_ok and not train:
+            scan_mode = "fused"
+        else:
+            scan_mode = "layered"
+
+    if scan_mode == "fused":
         from .fused_forward import spiking_fullsubnet_fused_forward
 
         return spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y, train)
@@ -215,15 +236,25 @@ def spiking_fullsubnet_apply(
 
     norm = norm_wrapper(cfg.norm_type) if cfg.norm_type else None
 
+    # Mixed precision for the recurrent glue: the unfold/tile/rearrange
+    # between the stacks move multi-GB activation tensors at serving batch
+    # sizes; carrying them in compute_dtype halves that HBM traffic. The
+    # sequence models cast their inputs to compute_dtype anyway, so this is
+    # numerically the same values reaching the matmuls; the complex
+    # deep-filtering signal path (noisy_cmp) stays float32.
+    if cfg.compute_dtype is not None and norm is None:
+        noisy_mag = noisy_mag.astype(jnp.dtype(cfg.compute_dtype))
+
     # ---- fullband ----
     fb_input = noisy_mag[..., : cfg.fb_input_size, :]
     if norm is not None:
         fb_input = norm(fb_input)
     fb_input = rearrange(fb_input, "b c f t -> b (c f) t")
-    fb_output, fb_all_layer_outputs, new_fb_state = sequence_model_apply(
-        cfg.fb_config(), params["fb"], state["fb"], fb_input, train
-    )
-    fb_output = fb_output[:, None]  # [B, 1, F', T]
+    with module_scope("fb"):
+        fb_output, fb_all_layer_outputs, new_fb_state = sequence_model_apply(
+            cfg.fb_config(), params["fb"], state["fb"], fb_input, train
+        )
+    fb_output = fb_output.astype(noisy_mag.dtype)[:, None]  # [B, 1, F', T]
     num_repeats = (cfg.n_fft // 2 + 1) // cfg.fb_input_size
     fb_output = jnp.tile(fb_output, (1, 1, num_repeats, 1))
 
@@ -243,9 +274,12 @@ def spiking_fullsubnet_apply(
         enh_list.append(enh)
         num_filtered += nf
 
-    enh_freqs = jnp.concatenate(enh_list, axis=-2)  # [B, 1, S, F-1, T]
-    enh_stft = repeat(noisy_cmp, "b 1 f t -> b 1 s f t", s=cfg.num_spks)
-    enh_stft = enh_stft.at[..., :-1, :].set(enh_freqs)  # Nyquist passthrough
+    # Nyquist passthrough (modeling_spiking_fullsubnet.py:461-470) — built by
+    # concatenation instead of repeat + masked overwrite (one pass, not three)
+    nyq = repeat(noisy_cmp[..., -1:, :], "b 1 f t -> b 1 s f t", s=cfg.num_spks)
+    enh_stft = jnp.concatenate(
+        [jnp.concatenate(enh_list, axis=-2), nyq], axis=-2
+    )  # [B, 1, S, F, T]
 
     new_state = {"fb": new_fb_state, "sb": new_sb_states}
 

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import uniform
+from ..nn.module_tracer import tracing_active as _tracing
 
 Array = jax.Array
 
@@ -203,9 +204,19 @@ def _gsu_layer_apply(
         else:
             stats = ()
         hy = spike(cy)
-        return (hy.astype(x.dtype), cy), (hy.astype(x.dtype), stats)
+        ys = (hy.astype(x.dtype), stats)
+        if _tracing():
+            # debug mode: also emit the membrane — the Heaviside maps a NaN
+            # membrane to spike 0, so output-only tracing would miss it
+            ys = ys + (cy,)
+        return (hy.astype(x.dtype), cy), ys
 
-    (_, _), (spikes, stats) = jax.lax.scan(step, (h0, c0), xg)
+    (_, _), scanned = jax.lax.scan(step, (h0, c0), xg)
+    spikes, stats = scanned[0], scanned[1]
+    if _tracing():
+        from ..nn.module_tracer import trace_activation
+
+        trace_activation("membrane", scanned[2])
 
     new_state = bn_state
     if use_bn and train:
@@ -244,26 +255,51 @@ def gsu_stack_apply(
     shared_weights: bool = False,
     train: bool = False,
     bn_momentum: float = 0.1,
+    backend: str = "scan",
 ) -> Tuple[Array, List[Array], Dict[str, Any]]:
     """Run the stacked GSU over a time-major sequence.
 
     Returns (output [T,B,H], all_layer_outputs [input, layer1, ...], new_state),
     matching StackedGSU.forward (efficient_spiking_neuron.py:50-62); the
     all_layer_outputs feed the synops/neuronops energy proxies.
+
+    backend: "scan" (lax.scan — numerics reference, runs everywhere),
+    "pallas" (TPU kernels, ops/gsu_pallas.py), or "auto" (pallas on TPU
+    when the shape fits VMEM, scan otherwise).
     """
+    if backend != "scan":
+        from . import gsu_pallas
+
+        want = backend == "pallas" or (backend == "auto" and gsu_pallas.available())
+        if want and x.ndim == 3 and x.shape[0] >= 8:
+            try:
+                return gsu_pallas.gsu_stack_apply_pallas(
+                    params, state, x, hidden_size, shared_weights, train,
+                    bn_momentum)
+            except ValueError:
+                if backend == "pallas":
+                    raise  # explicit request: surface the VMEM-planning error
+        elif backend == "pallas":
+            raise ValueError(
+                "backend='pallas' requires a [T>=8, B, F] input on a TPU backend")
+
+    from ..nn.module_tracer import module_scope, trace_activation
+
     out = x
     all_layer_outputs = [x]
     new_states = []
-    for layer_params, layer_state in zip(params["layers"], state["layers"]):
-        out, ns = _gsu_layer_apply(
-            layer_params,
-            layer_state,
-            out,
-            hidden_size,
-            shared_weights,
-            train,
-            bn_momentum,
-        )
+    for i, (layer_params, layer_state) in enumerate(zip(params["layers"], state["layers"])):
+        with module_scope(f"gsu_layer{i}"):
+            out, ns = _gsu_layer_apply(
+                layer_params,
+                layer_state,
+                out,
+                hidden_size,
+                shared_weights,
+                train,
+                bn_momentum,
+            )
+            out = trace_activation("spikes", out)
         new_states.append(ns)
         all_layer_outputs.append(out)
     return out, all_layer_outputs, {"layers": new_states}

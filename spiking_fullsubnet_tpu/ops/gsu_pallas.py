@@ -1,23 +1,44 @@
-"""Pallas TPU kernel for the GSU spiking recurrence (inference path).
+"""Pallas TPU kernels for the GSU spiking recurrence — the production path.
 
-The lax.scan implementation (ops/gsu.py) is the numerics reference and the
-training path. This kernel accelerates the sequential recurrence by:
+Replaces the reference's per-timestep Python loop (audiozen/models/
+spiking_fullsubnet/efficient_spiking_neuron.py:75-153) with a single TPU
+kernel per layer pass:
 
-- keeping W_hh weight-stationary in VMEM for the whole sequence,
-- carrying (h, c) in VMEM scratch that persists across grid steps,
-- streaming the precomputed input projections xg[T, B, G] block-by-block
-  through the Pallas grid pipeline (automatic HBM->VMEM double buffering),
-- fusing gates + membrane update + (folded eval BatchNorm) + Heaviside spike
-  into the same loop body as the recurrent matmul.
+- W_hh stays weight-stationary in VMEM for the whole sequence;
+- the carries (h, c) live in VMEM scratch across grid steps — the XLA scan
+  round-trips them through HBM every timestep, which is the scan's
+  bandwidth bottleneck at production batch sizes;
+- the precomputed input projections xg[T, B, G] stream through the grid
+  pipeline (automatic HBM→VMEM double buffering) in [t_blk, b_blk, G]
+  blocks;
+- gates + membrane + BatchNorm + Heaviside spike fuse into the same loop
+  body as the recurrent matmul.
 
-Layout: B is padded to the f32 sublane tile (8), H to the lane tile (128)
-by the caller wrapper. The grid runs sequentially on TPU, which is exactly
-what a time recurrence needs.
+Three entry points:
+
+- ``gsu_layer_pallas``           eval forward (BN folded to an affine)
+- ``gsu_layer_pallas_train``     training forward with a custom_vjp whose
+                                 backward is a reverse-time Pallas kernel
+                                 (recomputes gates from saved membranes,
+                                 exact batch-stat BatchNorm backward)
+- ``gsu_stack_apply_pallas``     stack-level drop-in for
+                                 ops.gsu.gsu_stack_apply
+
+Numerics match the lax.scan reference (ops/gsu.py) — which stays the
+fallback and the parity oracle — including torch BatchNorm1d train/eval
+semantics and the triangle surrogate gradient (Triangle,
+efficient_spiking_neuron.py:84-101).
+
+Layout: B pads to the sublane tile, H to the 128-lane tile. Grid is
+(b_blocks, t_blocks) — time innermost, so carries persist per b-block.
+Training with BatchNorm requires a single b-block (batch statistics span
+the whole batch each timestep); the planner enforces that.
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
@@ -25,176 +46,738 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BN_EPS = 1e-5
+SURR_GAMMA = 1.0  # triangle surrogate width (efficient_spiking_neuron.py:85)
 
-def _gsu_layer_kernel(
-    xg_ref,  # [T_BLK, B, G] VMEM (input projections block)
-    whh_ref,  # [G, H] VMEM (transposed recurrent weights)
-    bias_ref,  # [2, H] VMEM (b_f, b_c)
-    bn_ref,  # [2, H] VMEM (scale, shift) — identity when BN disabled
-    out_ref,  # [T_BLK, B, H] VMEM (spike outputs)
-    h_scr,  # [B, H] VMEM scratch (persists across grid steps)
-    c_scr,  # [B, H] VMEM scratch
-    *,
-    t_blk: int,
-    hidden: int,
-    shared: bool,
-):
-    step = pl.program_id(0)
+# VMEM working budget. The v5e core has 16 MiB; leave headroom for the
+# pipeline's metadata and the compiler's own temporaries (measured on this
+# environment: 15 MiB of explicit buffers compiles, 16 MiB does not).
+VMEM_BUDGET = 11 * 1024 * 1024
 
-    @pl.when(step == 0)
-    def _init():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
-
-    b_f = bias_ref[0, :]
-    b_c = bias_ref[1, :]
-    bn_scale = bn_ref[0, :]
-    bn_shift = bn_ref[1, :]
-
-    def body(i, _):
-        h = h_scr[:]
-        c = c_scr[:]
-        rg = jnp.dot(h, whh_ref[:, :], preferred_element_type=jnp.float32)
-        xg_t = xg_ref[i]
-        if shared:
-            pre = xg_t + rg  # [B, H]
-            f = jax.nn.sigmoid(pre + b_f)
-            g = pre + b_c
-        else:
-            pre = xg_t + rg  # [B, 2H]
-            f = jax.nn.sigmoid(pre[:, :hidden] + b_f)
-            g = pre[:, hidden:] + b_c
-        cy = f * c + (1.0 - f) * g
-        cy = cy * bn_scale + bn_shift
-        hy = (cy >= 0.0).astype(jnp.float32)
-        h_scr[:] = hy
-        c_scr[:] = cy
-        out_ref[i] = hy
-        return 0
-
-    jax.lax.fori_loop(0, t_blk, body, 0)
+_INTERPRET = False  # flipped by tests on CPU
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def gsu_layer_pallas_eval(
-    xg: jax.Array,  # [T, B, G] precomputed input projections (+0 bias)
-    w_hh: jax.Array,  # [G_rows, H] torch layout (rows = H if shared else 2H)
+@dataclass(frozen=True)
+class _KCfg:
+    hidden: int
+    shared: bool
+    bn: bool  # True = train-mode batch-stat BN inside the kernel
+    affine: bool  # True = eval-mode folded affine (mutually excl. with bn)
+    b_real: int  # unpadded batch rows (masks BN statistics)
+    bp: int
+    hp: int
+    g: int
+    t_blk: int
+    b_blk: int
+    n_t: int
+    n_b: int
+
+
+# ------------------------------------------------------------------ planning
+
+
+def _plan(T: int, B: int, H: int, shared: bool, train: bool, bn: bool,
+          save_res: bool) -> Tuple[int, int, int, int, int]:
+    """Choose (bp, hp, g, t_blk, b_blk) under the VMEM budget.
+
+    Streamed bytes per unit t_blk per b_blk row: xg[G] + spikes[Hp]
+    (+ y[Hp] when saving residuals; backward streams xg + y + gout + dxg,
+    which the same bound covers since G >= Hp).
+    """
+    hp = _round_up(H, 128)
+    g = hp if shared else 2 * hp
+    bp = _round_up(max(B, 8), 8)
+
+    if train and bn:
+        b_blk = bp  # batch statistics need the whole batch resident
+    else:
+        b_blk = min(bp, 1024)
+
+    while True:
+        if train or save_res:
+            # backward streams xg + dxg (G-wide) and y + gout (Hp-wide)
+            per_row = 2 * g + 2 * hp
+        else:
+            per_row = g + hp
+        fixed = 4 * (hp * g * 2 + 8 * hp + 3 * b_blk * hp)  # weights+grads+carries
+        per_t = b_blk * per_row * 4 * 2  # double-buffered
+        t_blk = max((VMEM_BUDGET - fixed) // per_t, 0)
+        t_blk = min(t_blk, 128, _round_up(T, 8))
+        # power-of-two-ish for clean grids
+        for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+            if cand <= t_blk:
+                t_blk = cand
+                break
+        if t_blk >= 1:
+            break
+        if train and bn:
+            raise ValueError(
+                f"GSU Pallas BN-train kernel: batch {bp}x{hp} exceeds VMEM "
+                f"budget; fall back to the scan path."
+            )
+        b_blk //= 2
+        if b_blk < 8:
+            raise ValueError("GSU Pallas kernel: shape exceeds VMEM budget.")
+
+    return bp, hp, g, t_blk, b_blk
+
+
+# ------------------------------------------------------------------ packing
+
+
+def _pack_xg(xg: jax.Array, H: int, hp: int, g: int, bp: int, tp: int,
+             shared: bool) -> jax.Array:
+    """[T, B, {H|2H}] -> padded [Tp, Bp, G] keeping (f, c) halves separate."""
+    T, B, _ = xg.shape
+    xg = xg.astype(jnp.float32)
+    out = jnp.zeros((tp, bp, g), jnp.float32)
+    if shared:
+        return out.at[:T, :B, :H].set(xg)
+    return out.at[:T, :B, :H].set(xg[..., :H]).at[:T, :B, hp:hp + H].set(xg[..., H:])
+
+
+def _pack_w(w_hh: jax.Array, H: int, hp: int, g: int, shared: bool) -> jax.Array:
+    """torch layout [rows, H] -> kernel layout [Hp, G] (h @ W -> gates)."""
+    w_hh = w_hh.astype(jnp.float32)
+    out = jnp.zeros((hp, g), jnp.float32)
+    if shared:
+        return out.at[:H, :H].set(w_hh.T)
+    return out.at[:H, :H].set(w_hh[:H].T).at[:H, hp:hp + H].set(w_hh[H:].T)
+
+
+def _pack_b2(bias: jax.Array, H: int, hp: int) -> jax.Array:
+    bias = bias.astype(jnp.float32)
+    return jnp.zeros((2, hp), jnp.float32).at[0, :H].set(bias[:H]).at[1, :H].set(bias[H:])
+
+
+def _pack_pair(a: Optional[jax.Array], b: Optional[jax.Array], H: int, hp: int,
+               defaults=(1.0, 0.0)) -> jax.Array:
+    out = jnp.full((2, hp), defaults[0], jnp.float32).at[1].set(defaults[1])
+    if a is not None:
+        out = out.at[0, :H].set(a.astype(jnp.float32))
+    if b is not None:
+        out = out.at[1, :H].set(b.astype(jnp.float32))
+    return out
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(xg_ref, w_ref, b2_ref, bnp_ref, out_ref, y_ref, stats_ref,
+                bnd_ref, h_scr, c_scr, *, cfg: _KCfg, save_res: bool):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    if save_res:
+        # entry membrane for this time block: y[t_blk*ti - 1] (zeros at ti=0)
+        bnd_ref[0] = c_scr[:]
+
+    b_f = b2_ref[0:1, :]
+    b_c = b2_ref[1:2, :]
+    p0 = bnp_ref[0:1, :]  # bn: gamma | affine: scale
+    p1 = bnp_ref[1:2, :]  # bn: beta  | affine: shift
+    hp = cfg.hp
+
+    if cfg.bn and cfg.b_real < cfg.bp:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.b_blk, 1), 0)
+        bmask = (rows < cfg.b_real).astype(jnp.float32)
+    else:
+        bmask = None
+
+    def body(i, _):
+        h = h_scr[:]
+        c = c_scr[:]
+        rg = jnp.dot(h, w_ref[:, :], preferred_element_type=jnp.float32)
+        xg_t = xg_ref[i]
+        pre = xg_t + rg
+        if cfg.shared:
+            f = jax.nn.sigmoid(pre + b_f)
+            gcell = pre + b_c
+        else:
+            f = jax.nn.sigmoid(pre[:, :hp] + b_f)
+            gcell = pre[:, hp:] + b_c
+        cy = f * c + (1.0 - f) * gcell
+        if cfg.bn:
+            inv_n = 1.0 / cfg.b_real
+            if bmask is None:
+                mean = jnp.sum(cy, axis=0, keepdims=True) * inv_n
+                var = jnp.sum(jnp.square(cy - mean), axis=0, keepdims=True) * inv_n
+            else:
+                mean = jnp.sum(cy * bmask, axis=0, keepdims=True) * inv_n
+                var = jnp.sum(jnp.square(cy - mean) * bmask, axis=0, keepdims=True) * inv_n
+            y = (cy - mean) * jax.lax.rsqrt(var + BN_EPS) * p0 + p1
+            stats_ref[i, 0:1, :] = mean
+            stats_ref[i, 1:2, :] = var
+        elif cfg.affine:
+            y = cy * p0 + p1
+        else:
+            y = cy
+        hy = (y >= 0.0).astype(jnp.float32)
+        h_scr[:] = hy
+        c_scr[:] = y
+        out_ref[i] = hy
+        if save_res:
+            y_ref[i] = y
+        return 0
+
+    jax.lax.fori_loop(0, cfg.t_blk, body, 0)
+
+
+def _run_fwd(cfg: _KCfg, xg_p, w_p, b2, bnp, save_res: bool):
+    tp = cfg.n_t * cfg.t_blk
+    grid = (cfg.n_b, cfg.n_t)
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, save_res=save_res)
+
+    in_specs = [
+        pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.g), lambda bi, ti: (ti, bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.hp, cfg.g), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((tp, cfg.bp, cfg.hp), jnp.float32)]
+    out_specs = [pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.hp),
+                              lambda bi, ti: (ti, bi, 0), memory_space=pltpu.VMEM)]
+    # y residuals (always position 1; dummy tiny when not saving)
+    if save_res:
+        out_shapes.append(jax.ShapeDtypeStruct((tp, cfg.bp, cfg.hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.hp),
+                                      lambda bi, ti: (ti, bi, 0), memory_space=pltpu.VMEM))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((1, 8, cfg.hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, cfg.hp), lambda bi, ti: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    # bn statistics
+    if cfg.bn:
+        out_shapes.append(jax.ShapeDtypeStruct((tp, 2, cfg.hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((cfg.t_blk, 2, cfg.hp),
+                                      lambda bi, ti: (ti, 0, 0), memory_space=pltpu.VMEM))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((1, 2, cfg.hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 2, cfg.hp), lambda bi, ti: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    # block-entry membranes (backward boundary)
+    if save_res:
+        out_shapes.append(jax.ShapeDtypeStruct((cfg.n_t, cfg.bp, cfg.hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, cfg.b_blk, cfg.hp),
+                                      lambda bi, ti: (ti, bi, 0), memory_space=pltpu.VMEM))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((1, 8, cfg.hp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, cfg.hp), lambda bi, ti: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    spikes, y, stats, bnd = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
+            pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(xg_p, w_p, b2, bnp)
+    return spikes, y, stats, bnd
+
+
+# ------------------------------------------------------------------ backward
+
+
+def _bwd_kernel(xg_ref, y_ref, gout_ref, bnd_ref, stats_ref, w_ref, b2_ref,
+                bnp_ref, dxg_ref, dw_ref, db_ref, dbn_ref, dh_scr, dc_scr,
+                *, cfg: _KCfg):
+    ti = pl.program_id(1)  # 0 .. n_t-1, walking time blocks in REVERSE
+    bi = pl.program_id(0)
+    seq_start_block = ti == cfg.n_t - 1  # reverse order: last program = t block 0
+
+    @pl.when(ti == 0)
+    def _init_carries():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when((ti == 0) & (bi == 0))
+    def _init_accums():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dbn_ref[:] = jnp.zeros_like(dbn_ref)
+
+    b_f = b2_ref[0:1, :]
+    b_c = b2_ref[1:2, :]
+    gamma = bnp_ref[0:1, :]
+    hp = cfg.hp
+    inv_surr = 1.0 / (SURR_GAMMA * SURR_GAMMA)
+
+    if cfg.bn and cfg.b_real < cfg.bp:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.b_blk, 1), 0)
+        bmask = (rows < cfg.b_real).astype(jnp.float32)
+    else:
+        bmask = None
+
+    def body(i, _):
+        t_loc = cfg.t_blk - 1 - i
+        y_t = y_ref[t_loc]
+        y_prev_in = y_ref[jnp.maximum(t_loc - 1, 0)]
+        c_prev = jnp.where(t_loc == 0, bnd_ref[0], y_prev_in)
+        h_prev_raw = (c_prev >= 0.0).astype(jnp.float32)
+        # true h_{-1} is 0 (not spike(0)=1) at the sequence start
+        zero_start = seq_start_block & (t_loc == 0)
+        h_prev = jnp.where(zero_start, jnp.zeros_like(h_prev_raw), h_prev_raw)
+        c_prev = jnp.where(zero_start, jnp.zeros_like(c_prev), c_prev)
+
+        # recompute gates (forward math)
+        rg = jnp.dot(h_prev, w_ref[:, :], preferred_element_type=jnp.float32)
+        xg_t = xg_ref[t_loc]
+        pre = xg_t + rg
+        if cfg.shared:
+            f = jax.nn.sigmoid(pre + b_f)
+            gcell = pre + b_c
+        else:
+            f = jax.nn.sigmoid(pre[:, :hp] + b_f)
+            gcell = pre[:, hp:] + b_c
+
+        # dL/dy_t: upstream spike grad through the triangle surrogate,
+        # plus next step's membrane-carry grad
+        surr = inv_surr * jnp.maximum(SURR_GAMMA - jnp.abs(y_t), 0.0)
+        dy = (gout_ref[t_loc] + dh_scr[:]) * surr + dc_scr[:]
+
+        if cfg.bn:
+            mean = stats_ref[t_loc, 0:1, :]
+            var = stats_ref[t_loc, 1:2, :]
+            rstd = jax.lax.rsqrt(var + BN_EPS)
+            c_raw = f * c_prev + (1.0 - f) * gcell
+            xhat = (c_raw - mean) * rstd
+            if bmask is not None:
+                dy = dy * bmask
+            inv_n = 1.0 / cfg.b_real
+            sum_dy = jnp.sum(dy, axis=0, keepdims=True)
+            sum_dyx = jnp.sum(dy * xhat, axis=0, keepdims=True)
+            dbn_ref[0:1, :] += sum_dyx  # dgamma
+            dbn_ref[1:2, :] += sum_dy   # dbeta
+            dcr = gamma * rstd * (dy - inv_n * sum_dy - xhat * (inv_n * sum_dyx))
+            if bmask is not None:
+                dcr = dcr * bmask
+        else:
+            dcr = dy
+
+        df = dcr * (c_prev - gcell)
+        dpre_f = df * f * (1.0 - f)
+        dpre_c = dcr * (1.0 - f)
+        dc_prev = dcr * f
+
+        if cfg.shared:
+            drg = dpre_f + dpre_c
+        else:
+            drg = jnp.concatenate([dpre_f, dpre_c], axis=1)
+
+        dxg_ref[t_loc] = drg
+        db_ref[0:1, :] += jnp.sum(dpre_f, axis=0, keepdims=True)
+        db_ref[1:2, :] += jnp.sum(dpre_c, axis=0, keepdims=True)
+        # dW[h_in, gate] += h_prev^T @ drg
+        dw_ref[:, :] += jax.lax.dot_general(
+            h_prev, drg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # grad into h_{t-1} through the recurrent matmul
+        dh_prev = jax.lax.dot_general(
+            drg, w_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        dh_scr[:] = dh_prev
+        dc_scr[:] = dc_prev
+        return 0
+
+    jax.lax.fori_loop(0, cfg.t_blk, body, 0)
+
+
+def _run_bwd(cfg: _KCfg, xg_p, y, gout_p, bnd, stats, w_p, b2, bnp):
+    grid = (cfg.n_b, cfg.n_t)
+    n_t = cfg.n_t
+    kernel = functools.partial(_bwd_kernel, cfg=cfg)
+
+    rev_t3 = lambda bi, ti: (n_t - 1 - ti, bi, 0)
+    in_specs = [
+        pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.g), rev_t3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.hp), rev_t3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.hp), rev_t3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cfg.b_blk, cfg.hp), rev_t3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.t_blk, 2, cfg.hp), lambda bi, ti: (n_t - 1 - ti, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.hp, cfg.g), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    tp = cfg.n_t * cfg.t_blk
+    out_shapes = [
+        jax.ShapeDtypeStruct((tp, cfg.bp, cfg.g), jnp.float32),
+        jax.ShapeDtypeStruct((cfg.hp, cfg.g), jnp.float32),
+        jax.ShapeDtypeStruct((2, cfg.hp), jnp.float32),
+        jax.ShapeDtypeStruct((2, cfg.hp), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.g), rev_t3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.hp, cfg.g), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    dxg, dw, db, dbn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
+            pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(xg_p, y, gout_p, bnd, stats, w_p, b2, bnp)
+    return dxg, dw, db, dbn
+
+
+# ------------------------------------------------------------------ public API
+
+
+def _make_cfg(T: int, B: int, H: int, shared: bool, *, bn: bool, affine: bool,
+              train: bool, save_res: bool, t_blk: Optional[int] = None) -> _KCfg:
+    bp, hp, g, t_blk_auto, b_blk = _plan(T, B, H, shared, train, bn, save_res)
+    t_blk = t_blk or t_blk_auto
+    tp = _round_up(T, t_blk)
+    return _KCfg(
+        hidden=H, shared=shared, bn=bn, affine=affine, b_real=B,
+        bp=bp, hp=hp, g=g, t_blk=t_blk, b_blk=b_blk,
+        n_t=tp // t_blk, n_b=bp // b_blk,
+    )
+
+
+def gsu_layer_pallas(
+    xg: jax.Array,  # [T, B, {H|2H}] precomputed input projections (no bias)
+    w_hh: jax.Array,  # torch layout [rows, H]
     bias: jax.Array,  # [2H]
     hidden: int,
     shared: bool,
     bn_scale: Optional[jax.Array] = None,
     bn_shift: Optional[jax.Array] = None,
-    t_blk: int = 64,
+    t_blk: Optional[int] = None,
 ) -> jax.Array:
-    """Run one GSU layer (eval semantics) with the Pallas kernel.
+    """Eval-mode GSU layer (BN running stats folded to scale/shift).
 
-    Returns spikes [T, B, H]. Handles padding of B to 8 and H to 128; the
-    hidden padding is safe because padded W_hh columns/rows are zero, padded
-    bias is -inf-free (zero), and padded spike outputs are discarded.
+    Returns spikes [T, B, H] float32. Not differentiable — training goes
+    through gsu_layer_pallas_train.
     """
-    T, B, G = xg.shape
-    H = hidden
-    Bp = _round_up(max(B, 8), 8)
-    Hp = _round_up(H, 128)
-    Gp = Hp if shared else 2 * Hp
-
-    # pad xg: [T, Bp, Gp] — layout for non-shared keeps (f, c) halves separate
-    if shared:
-        xg_p = jnp.zeros((T, Bp, Gp), xg.dtype).at[:, :B, :H].set(xg)
-    else:
-        xg_p = (
-            jnp.zeros((T, Bp, Gp), xg.dtype)
-            .at[:, :B, :H]
-            .set(xg[..., :H])
-            .at[:, :B, Hp : Hp + H]
-            .set(xg[..., H:])
-        )
-
-    # w_hh torch layout [rows, H]; kernel needs [Hp, Gp] as h @ W -> gates
-    if shared:
-        w = jnp.zeros((Hp, Gp), w_hh.dtype).at[:H, :H].set(w_hh.T)
-    else:
-        w = (
-            jnp.zeros((Hp, Gp), w_hh.dtype)
-            .at[:H, :H]
-            .set(w_hh[:H].T)
-            .at[:H, Hp : Hp + H]
-            .set(w_hh[H:].T)
-        )
-
-    b2 = jnp.zeros((2, Hp), bias.dtype).at[0, :H].set(bias[:H]).at[1, :H].set(bias[H:])
-    if bn_scale is None:
-        bn = jnp.zeros((2, Hp), xg.dtype).at[0].set(1.0)
-        # keep padded lanes' membrane at 0 -> spike(0) = 1... mask instead:
-        # set padded scale to 1, shift to -1 so cy_pad = -1 -> spike 0.
-        bn = bn.at[1, H:].set(-1.0)
-    else:
-        bn = (
-            jnp.zeros((2, Hp), xg.dtype)
-            .at[0, :H]
-            .set(bn_scale)
-            .at[1, :H]
-            .set(bn_shift)
-            .at[1, H:]
-            .set(-1.0)
-        )
-
-    Tp = _round_up(T, t_blk)
-    if Tp != T:
-        xg_p = jnp.pad(xg_p, ((0, Tp - T), (0, 0), (0, 0)))
-
-    grid = (Tp // t_blk,)
-    kernel = functools.partial(
-        _gsu_layer_kernel, t_blk=t_blk, hidden=Hp, shared=shared
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((t_blk, Bp, Gp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hp, Gp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Hp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Hp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((t_blk, Bp, Hp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, Bp, Hp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((Bp, Hp), jnp.float32),
-            pltpu.VMEM((Bp, Hp), jnp.float32),
-        ],
-    )(xg_p, w, b2, bn)
-    return out[:T, :B, :H]
+    T, B, _ = xg.shape
+    cfg = _make_cfg(T, B, hidden, shared, bn=False, affine=bn_scale is not None,
+                    train=False, save_res=False, t_blk=t_blk)
+    xg_p = _pack_xg(xg, hidden, cfg.hp, cfg.g, cfg.bp, cfg.n_t * cfg.t_blk, shared)
+    w_p = _pack_w(w_hh, hidden, cfg.hp, cfg.g, shared)
+    b2 = _pack_b2(bias, hidden, cfg.hp)
+    bnp = _pack_pair(bn_scale, bn_shift, hidden, cfg.hp)
+    spikes, _, _, _ = _run_fwd(cfg, xg_p, w_p, b2, bnp, save_res=False)
+    return spikes[:T, :B, :hidden]
 
 
-def gsu_stack_apply_pallas_eval(params, state, x, hidden_size: int, shared_weights: bool):
-    """Eval-mode stacked GSU using the Pallas layer kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gsu_train_core(cfg: _KCfg, xg_p, w_p, b2, bnp):
+    spikes, _, stats, _ = _run_fwd(cfg, xg_p, w_p, b2, bnp, save_res=True)
+    return spikes, stats
 
-    Mirrors ops/gsu.gsu_stack_apply(train=False); BN running stats fold into
-    a per-layer affine. Returns (out, all_layer_outputs, state).
+
+def _gsu_train_fwd(cfg, xg_p, w_p, b2, bnp):
+    spikes, y, stats, bnd = _run_fwd(cfg, xg_p, w_p, b2, bnp, save_res=True)
+    return (spikes, stats), (xg_p, w_p, b2, bnp, y, stats, bnd)
+
+
+def _gsu_train_bwd(cfg, res, cts):
+    xg_p, w_p, b2, bnp, y, stats, bnd = res
+    g_spikes, _ = cts  # stats cotangent intentionally ignored (running-stat
+    # updates are stop_gradient'd, matching torch BatchNorm semantics)
+    g_spikes = g_spikes.astype(jnp.float32)
+    dxg, dw, db, dbn = _run_bwd(cfg, xg_p, y, g_spikes, bnd, stats, w_p, b2, bnp)
+    return dxg, dw, db, dbn
+
+
+_gsu_train_core.defvjp(_gsu_train_fwd, _gsu_train_bwd)
+
+
+def gsu_layer_pallas_train(
+    xg: jax.Array,  # [T, B, {H|2H}]
+    w_hh: jax.Array,
+    bias: jax.Array,
+    hidden: int,
+    shared: bool,
+    bn_weight: Optional[jax.Array] = None,
+    bn_bias: Optional[jax.Array] = None,
+    t_blk: Optional[int] = None,
+):
+    """Training-mode GSU layer with surrogate-gradient custom_vjp.
+
+    Returns (spikes [T,B,H] f32, (means, biased_vars) [T,H] f32 or None).
+    Differentiable wrt xg, w_hh, bias, bn_weight, bn_bias.
     """
+    T, B, _ = xg.shape
+    use_bn = bn_weight is not None
+    cfg = _make_cfg(T, B, hidden, shared, bn=use_bn, affine=False, train=True,
+                    save_res=True, t_blk=t_blk)
+    hp, g = cfg.hp, cfg.g
+    tp = cfg.n_t * cfg.t_blk
+
+    # pack/unpack wrapped around the core so grads flow through the packing
+    def run(xg, w_hh, bias, bn_w, bn_b):
+        xg_p = _pack_xg(xg, hidden, hp, g, cfg.bp, tp, shared)
+        w_p = _pack_w(w_hh, hidden, hp, g, shared)
+        b2 = _pack_b2(bias, hidden, hp)
+        bnp = _pack_pair(bn_w, bn_b, hidden, hp)
+        spikes, stats = _gsu_train_core(cfg, xg_p, w_p, b2, bnp)
+        return spikes[:T, :B, :hidden], stats
+
+    if use_bn:
+        spikes, stats = run(xg, w_hh, bias, bn_weight, bn_bias)
+        means = jax.lax.stop_gradient(stats[:T, 0, :hidden])
+        vars_ = jax.lax.stop_gradient(stats[:T, 1, :hidden])
+        return spikes, (means, vars_)
+    spikes, _ = run(xg, w_hh, bias, None, None)
+    return spikes, None
+
+
+def gsu_stack_apply_pallas(
+    params,
+    state,
+    x: jax.Array,  # [T, B, F]
+    hidden_size: int,
+    shared_weights: bool = False,
+    train: bool = False,
+    bn_momentum: float = 0.1,
+):
+    """Drop-in for ops.gsu.gsu_stack_apply running on the Pallas kernels.
+
+    Same contract: (out, all_layer_outputs, new_state). Mixed precision
+    mirrors the scan path: low-precision inputs feed the matmuls (f32
+    accumulation), membrane/BN/statistics stay float32; spikes return in
+    x.dtype.
+    """
+    from .gsu import bn_running_update  # shared running-stat closed form
+
+    if not train:
+        return gsu_stack_eval_pallas(params, state, x, hidden_size, shared_weights)
+
+    T, B, _ = x.shape
     out = x
     all_layer_outputs = [x]
+    new_states = []
     for layer_params, layer_state in zip(params["layers"], state["layers"]):
-        T, B, F = out.shape
+        Tc, Bc, F = out.shape
         w_ih = layer_params["weight_ih"]
-        xg = (out.reshape(T * B, F) @ w_ih.T).reshape(T, B, -1)
-        bn_scale = bn_shift = None
-        if "bn" in layer_params:
-            rv = layer_state["bn"]["running_var"]
-            rm = layer_state["bn"]["running_mean"]
-            bn_scale = layer_params["bn"]["weight"] * jax.lax.rsqrt(rv + 1e-5)
-            bn_shift = layer_params["bn"]["bias"] - rm * bn_scale
-        out = gsu_layer_pallas_eval(
-            xg,
-            layer_params["weight_hh"],
-            layer_params["bias_ih"],
-            hidden_size,
-            shared_weights,
-            bn_scale,
-            bn_shift,
-        )
+        xg = jnp.matmul(
+            out.reshape(Tc * Bc, F), w_ih.T, preferred_element_type=jnp.float32
+        ).reshape(Tc, Bc, -1)
+        has_bn = "bn" in layer_params
+        ns = layer_state
+        if train:
+            bn_w = layer_params["bn"]["weight"] if has_bn else None
+            bn_b = layer_params["bn"]["bias"] if has_bn else None
+            spikes, stats = gsu_layer_pallas_train(
+                xg, layer_params["weight_hh"], layer_params["bias_ih"],
+                hidden_size, shared_weights, bn_w, bn_b,
+            )
+            if has_bn:
+                means, vars_ = stats
+                ns = {"bn": bn_running_update(
+                    layer_state["bn"], means, vars_, Bc, bn_momentum)}
+        else:
+            bn_scale = bn_shift = None
+            if has_bn:
+                rv = layer_state["bn"]["running_var"]
+                rm = layer_state["bn"]["running_mean"]
+                w32 = layer_params["bn"]["weight"].astype(rv.dtype)
+                b32 = layer_params["bn"]["bias"].astype(rv.dtype)
+                bn_scale = w32 * jax.lax.rsqrt(rv + BN_EPS)
+                bn_shift = b32 - rm * bn_scale
+            spikes = gsu_layer_pallas(
+                xg, layer_params["weight_hh"], layer_params["bias_ih"],
+                hidden_size, shared_weights, bn_scale, bn_shift,
+            )
+        out = spikes.astype(x.dtype)
+        new_states.append(ns)
         all_layer_outputs.append(out)
-    return out, all_layer_outputs, state
+    return out, all_layer_outputs, {"layers": new_states}
+
+
+def available() -> bool:
+    """True when the default backend can run these kernels compiled."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+# --------------------------------------------------- fused whole-stack eval
+
+
+def _stack_eval_kernel(x_ref, wih0_ref, wihr_ref, whh_ref, coef_ref, out_ref,
+                       h_scr, c_scr, *, L: int, hp: int, fp: int, t_blk: int,
+                       shared: bool, io_dtype):
+    """All L layers of a GSU stack per timestep, VMEM-resident end to end.
+
+    Input projections are computed in-kernel (no xg materialization in HBM);
+    inter-layer spikes and the (h, c) carries never leave VMEM. coef_ref
+    packs per-layer [b_f, b_c, bn_scale, bn_shift]. With io_dtype=bfloat16
+    the matmul inputs (x, spikes, weights) are bf16 with f32 accumulation —
+    spikes are exactly representable — while the membrane/BN math stays f32,
+    mirroring the scan path's mixed-precision policy.
+    """
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    def body(i, _):
+        h_in = x_ref[i]  # [b_blk, fp] in io_dtype
+        for k in range(L):
+            wih = wih0_ref[:, :] if k == 0 else wihr_ref[k - 1]
+            xg = jnp.dot(h_in, wih, preferred_element_type=jnp.float32)
+            h = h_scr[k]
+            c = c_scr[k]
+            rg = jnp.dot(h, whh_ref[k], preferred_element_type=jnp.float32)
+            pre = xg + rg
+            b_f = coef_ref[k, 0:1, :]
+            b_c = coef_ref[k, 1:2, :]
+            scale = coef_ref[k, 2:3, :]
+            shift = coef_ref[k, 3:4, :]
+            if shared:
+                f = jax.nn.sigmoid(pre + b_f)
+                gcell = pre + b_c
+            else:
+                f = jax.nn.sigmoid(pre[:, :hp] + b_f)
+                gcell = pre[:, hp:] + b_c
+            cy = (f * c + (1.0 - f) * gcell) * scale + shift
+            hy = (cy >= 0.0).astype(io_dtype)
+            h_scr[k] = hy
+            c_scr[k] = cy
+            out_ref[k, i] = hy
+            h_in = hy
+        return 0
+
+    jax.lax.fori_loop(0, t_blk, body, 0)
+
+
+def gsu_stack_eval_pallas(
+    params,
+    state,
+    x: jax.Array,  # [T, B, F] (any float dtype; kernel runs f32)
+    hidden_size: int,
+    shared_weights: bool = False,
+    t_blk: Optional[int] = None,
+):
+    """Whole-stack eval forward in one Pallas kernel.
+
+    Same contract as ops.gsu.gsu_stack_apply(train=False): returns
+    (out, all_layer_outputs, state). This is the production enhance path:
+    the layer-by-layer variant round-trips inter-layer spikes and input
+    projections through HBM, which dominates at serving batch sizes.
+    """
+    T, B, F = x.shape
+    H = hidden_size
+    L = len(params["layers"])
+    mixed = x.dtype == jnp.bfloat16
+    io_dtype = jnp.bfloat16 if mixed else jnp.float32
+    io_bytes = 2 if mixed else 4
+    hp = _round_up(H, 128)
+    fp = _round_up(F, 128)
+    g = hp if shared_weights else 2 * hp
+    bp = _round_up(max(B, 8), 16 if mixed else 8)
+
+    # plan: streams x (fp) in + L*hp out, double buffered; fixed weights
+    w_bytes = io_bytes * (fp * g + max(L - 1, 1) * hp * g + L * hp * g) + 4 * L * 4 * hp
+    b_blk = min(bp, 1024)
+    while True:
+        fixed = w_bytes + (io_bytes + 4) * L * b_blk * hp
+        per_t = b_blk * (fp + L * hp) * io_bytes * 2
+        tb = max((VMEM_BUDGET - fixed) // per_t, 0)
+        tb = min(tb, 128, _round_up(T, 8))
+        for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+            if cand <= tb:
+                tb = cand
+                break
+        if tb >= 1:
+            break
+        b_blk //= 2
+        if b_blk < 16:
+            raise ValueError("GSU stack eval kernel: shape exceeds VMEM budget.")
+    tb = t_blk or tb
+    tp = _round_up(T, tb)
+    n_t, n_b = tp // tb, bp // b_blk
+
+    x_p = jnp.zeros((tp, bp, fp), io_dtype).at[:T, :B, :F].set(
+        x.astype(io_dtype))
+    wih0 = jnp.zeros((fp, g), io_dtype)
+    wihr = jnp.zeros((max(L - 1, 1), hp, g), io_dtype)
+    whh = jnp.zeros((L, hp, g), io_dtype)
+    coef = jnp.zeros((L, 4, hp), jnp.float32).at[:, 2, :].set(1.0)
+    for k, (lp, ls) in enumerate(zip(params["layers"], state["layers"])):
+        w_ih_k = _pack_w_generic(lp["weight_ih"], H, hp, g, F if k == 0 else H,
+                                 fp if k == 0 else hp, shared_weights)
+        if k == 0:
+            wih0 = w_ih_k.astype(io_dtype)
+        else:
+            wihr = wihr.at[k - 1].set(w_ih_k.astype(io_dtype))
+        whh = whh.at[k].set(
+            _pack_w(lp["weight_hh"], H, hp, g, shared_weights).astype(io_dtype))
+        bias = lp["bias_ih"].astype(jnp.float32)
+        coef = coef.at[k, 0, :H].set(bias[:H]).at[k, 1, :H].set(bias[H:])
+        if "bn" in lp:
+            rv = ls["bn"]["running_var"].astype(jnp.float32)
+            rm = ls["bn"]["running_mean"].astype(jnp.float32)
+            w32 = lp["bn"]["weight"].astype(jnp.float32)
+            b32 = lp["bn"]["bias"].astype(jnp.float32)
+            scale = w32 * jax.lax.rsqrt(rv + BN_EPS)
+            coef = coef.at[k, 2, :H].set(scale).at[k, 3, :H].set(b32 - rm * scale)
+
+    kernel = functools.partial(_stack_eval_kernel, L=L, hp=hp, fp=fp,
+                               t_blk=tb, shared=shared_weights,
+                               io_dtype=io_dtype)
+    spikes = pl.pallas_call(
+        kernel,
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec((tb, b_blk, fp), lambda bi, ti: (ti, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, g), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(L - 1, 1), hp, g), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hp, g), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4, hp), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, tb, b_blk, hp),
+                               lambda bi, ti: (0, ti, bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, tp, bp, hp), io_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, hp), io_dtype),
+            pltpu.VMEM((L, b_blk, hp), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x_p, wih0, wihr, whh, coef)
+
+    outs = [spikes[k, :T, :B, :H].astype(x.dtype) for k in range(L)]
+    return outs[-1], [x] + outs, state
+
+
+def _pack_w_generic(w: jax.Array, H: int, hp: int, g: int, fin: int, fin_p: int,
+                    shared: bool) -> jax.Array:
+    """torch layout [rows, fin] -> kernel layout [fin_p, G]."""
+    w = w.astype(jnp.float32)
+    out = jnp.zeros((fin_p, g), jnp.float32)
+    if shared:
+        return out.at[:fin, :H].set(w.T)
+    return out.at[:fin, :H].set(w[:H].T).at[:fin, hp:hp + H].set(w[H:].T)

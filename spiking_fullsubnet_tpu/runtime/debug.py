@@ -45,3 +45,13 @@ def clamp_inf_value(x, dtype=jnp.float32):
     """Clamp ±inf to finfo max/min (reference utils.py:167-172)."""
     finfo = jnp.finfo(dtype)
     return jnp.clip(jnp.nan_to_num(x, posinf=finfo.max, neginf=finfo.min), finfo.min, finfo.max)
+
+
+# Per-module activation tracer (reference DebugUnderflowOverflow semantics):
+# re-exported here so the debug subsystem has one import surface.
+from ..nn.module_tracer import (  # noqa: E402,F401
+    ActivationTracer,
+    FloatingPointAbort,
+    module_scope,
+    trace_activation,
+)

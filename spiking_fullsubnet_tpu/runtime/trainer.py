@@ -372,6 +372,9 @@ class Trainer:
         else:
             fused_step = self._get_fused_step()
 
+        updates_done = self.state.steps_trained // accum
+        steps_exhausted = False
+
         for epoch in range(self.state.epochs_trained + 1, max_epochs + 1):
             logger.info(f"{'=' * 9} Epoch {epoch} out of {max_epochs} {'=' * 9}")
             epoch_t0 = time.time()
@@ -389,15 +392,25 @@ class Trainer:
                             self.params, self.opt_state, grads_acc
                         )
                         micro = 0
+                        updates_done += 1
                         self._log_step(loss_dict, grad_norm)
                 else:
                     self.params, self.model_state, self.opt_state, loss_dict, grad_norm = fused_step(
                         self.params, self.model_state, self.opt_state, arrays
                     )
+                    updates_done += 1
                     self._log_step(loss_dict, grad_norm)
 
                 training_epoch_output.append({k: float(v) for k, v in loss_dict.items()})
                 self.state.steps_trained += 1
+
+                # step-bounded runs stop at EXACTLY max_steps optimizer
+                # updates, mid-epoch if needed (SURVEY §3.5; the reference
+                # only rounds max_steps up to an epoch ceiling)
+                if self.max_steps > 0 and updates_done >= self.max_steps:
+                    steps_exhausted = True
+                    logger.info(f"Reached max_steps={self.max_steps}, stopping training.")
+                    break
 
             self.state.epochs_trained += 1
             self.training_epoch_end(training_epoch_output)
@@ -424,6 +437,9 @@ class Trainer:
             if reduce_scalar_sum(early_stop_mark) != 0:
                 logger.info("Early stopping triggered, stopping training...")
                 break
+            if steps_exhausted:
+                break
+        self.ckpt_manager.wait()  # commit any in-flight async save
 
     def finetune(self, train_dataloader, validation_dataloaders, ckpt_path="best"):
         """Warm-start the weights from a checkpoint, then train with a fresh
@@ -433,14 +449,33 @@ class Trainer:
         spiking_fullsubnet/run.py:121) but raises NotImplementedError
         (run.py:100-101); this implements the documented intent: load model
         weights only — not optimizer moments or epoch/patience counters.
+
+        The weights restore is structure-free (load_weights), so changing
+        the optimizer between the base run and the finetune run is fine.
+        Finetune checkpoints go to a separate checkpoints_finetune/ dir so
+        the warm-start checkpoint (and the base run's best/) are never
+        clobbered by a worse finetuned model.
         """
-        self._build_optimizer(max_steps=1)
-        self._load_eval_weights(ckpt_path)
+        try:
+            restored = self.ckpt_manager.load_weights(ckpt_path)
+            self.params = jax.tree.map(jnp.asarray, restored["params"])
+            self.model_state = jax.tree.map(jnp.asarray, restored["model_state"])
+            self._place_replicated()
+            logger.info(f"Finetune: warm-started weights from '{ckpt_path}'.")
+        except FileNotFoundError:
+            if getattr(self, "_ckpt_preloaded", False):
+                logger.info("Finetune: using pre-imported torch checkpoint weights.")
+            else:
+                raise
         self.state = TrainerState(save_max_score=self.save_max_score)
         self.optimizer = None
         self.opt_state = None
         self.lr_schedule = None
         self.resume = False
+        self.ckpt_manager = CheckpointManager(
+            self.checkpoints_dir.parent / "checkpoints_finetune",
+            self.max_num_checkpoints,
+        )
         self.train(train_dataloader, validation_dataloaders)
 
     def _log_step(self, loss_dict, grad_norm):

@@ -37,6 +37,11 @@ from .dsp.spectral import hann_window
 from .models.sequence_model import SequenceModelConfig
 from .models.spiking_fullsubnet import SpikingFullSubNetConfig
 from .nn.core import layer_norm_apply, linear_apply, output_activation
+
+
+@partial(jax.jit, static_argnums=0)
+def _zeros_complex(shape: Tuple[int, ...]) -> jax.Array:
+    return jnp.zeros(shape, jnp.complex64)
 from .ops.freq_unfold import freq_unfold
 from .ops.gsu import spike
 
@@ -174,10 +179,11 @@ class StreamingEnhancer:
             "ola_tail": jnp.zeros((b, cfg.n_fft - cfg.hop_length), jnp.float32),
             "fb": zeros_states(cfg.fb_config(), 1),
             "sb": sb_states,
+            # complex zeros built under jit: some backends (remote-attached
+            # dev tunnels) cannot materialize complex constants eagerly
             "df_taps": [
-                jnp.zeros(
-                    (b, 1, cfg.freq_cutoffs[i + 1] - cfg.freq_cutoffs[i], cfg.df_orders[i] - 1),
-                    jnp.complex64,
+                _zeros_complex(
+                    (b, 1, cfg.freq_cutoffs[i + 1] - cfg.freq_cutoffs[i], cfg.df_orders[i] - 1)
                 )
                 for i in range(cfg.num_sections)
             ],

@@ -1,0 +1,67 @@
+"""Multi-process jax.distributed tests (2 CPU processes, no hardware).
+
+The reference exercises its distributed paths only via real
+`accelerate launch` runs (SURVEY.md §4 "Distributed testing: none"); here
+the multihost semantics — early-stop reduction (audiozen/trainer.py:
+460-468), gather_for_metrics ordering (:511), loader sharding, and
+multi-process Orbax checkpointing — run in CI as real separate processes
+connected through the JAX coordination service.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = Path(__file__).parent / "multiprocess_worker.py"
+REPO = Path(__file__).parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed(tmp_path):
+    num = 2
+    coordinator = f"127.0.0.1:{_free_port()}"
+    # scrub accelerator-tunnel plugins (sitecustomize on PYTHONPATH installs
+    # a remote backend that breaks the CPU coordination service)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not (k.startswith(("PALLAS_AXON", "TPU_", "AXON")) or k in ("PYTHONPATH",))
+    }
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=str(REPO),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coordinator, str(num), str(pid), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(num)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {pid}" in out, out[-4000:]

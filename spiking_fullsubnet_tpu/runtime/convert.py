@@ -107,3 +107,19 @@ def save_npz(path: str, pytree) -> None:
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
         out[key] = np.asarray(leaf)
     np.savez(path, **out)
+
+
+def load_npz(path: str, template) -> Dict:
+    """Restore a pytree saved by save_npz; structure comes from `template`."""
+    import jax
+
+    with np.load(path) as data:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for keypath, leaf in flat:
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+            arr = data[key]
+            if arr.shape != tuple(leaf.shape):
+                raise ValueError(f"{key}: checkpoint shape {arr.shape} != model {leaf.shape}")
+            leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(template), leaves)

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Build the framework-native model zoo + leaderboard from reference weights.
+
+One command produces everything a user needs to evaluate the published
+Spiking-FullSubNet models without torch at runtime:
+
+  1. converts the shipped competition checkpoints (reference
+     model_zoo/intel_ndns/spike_fsb/baseline_{s,m}) to the framework's
+     torch-free .npz format under model_zoo/intel_ndns/spike_fsb/;
+     (the reference snapshot ships NO generator weights for L/XL — their
+     checkpoints contain only the discriminator pytorch_model_1.bin;
+     verified 2026-08 — so those two entries are architecture-only)
+  2. runs each converted model end-to-end on a hermetic speech-like
+     validation set with the PUBLISHED config (norm_type =
+     cumulative_laplace_norm, baseline_m.toml:63 — a path the reference
+     snapshot itself cannot execute, see tests/test_spiking_fullsubnet.py),
+     computing SI-SDR and the neuromorphic power proxies
+     (synops / neuron_ops, metric.py:303-340 semantics);
+  3. writes the leaderboard via tools/metricsboard_writeout.py conventions
+     to model_zoo/metricsboard_framework.{yml,md}.
+
+Usage:
+    python tools/build_model_zoo.py [--out model_zoo] [--sizes s m] [--utts 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REF_ZOO = Path("/root/reference/model_zoo/intel_ndns/spike_fsb")
+
+SIZES = {
+    "baseline_s": dict(fb_hidden_size=240, sb_hidden_size=160,
+                       freq_cutoffs=[32, 128], sb_df_orders=[3, 1, 1],
+                       sb_num_center_freqs=[4, 32, 64],
+                       sb_num_neighbor_freqs=[15, 15, 15],
+                       fb_num_center_freqs=[4, 32, 64],
+                       fb_num_neighbor_freqs=[0, 0, 0], shared_weights=True),
+    "baseline_m": dict(fb_hidden_size=320, sb_hidden_size=224,
+                       freq_cutoffs=[32, 128], sb_df_orders=[5, 3, 1],
+                       sb_num_center_freqs=[4, 32, 64],
+                       sb_num_neighbor_freqs=[15, 15, 15],
+                       fb_num_center_freqs=[4, 32, 64],
+                       fb_num_neighbor_freqs=[0, 0, 0], shared_weights=True),
+}
+COMMON = dict(
+    sr=16000, fdrc=0.5, n_fft=512, fb_freqs=64, hop_length=128, win_length=512,
+    num_freqs=256, sequence_model="GSU", fb_output_activate_function=False,
+    sb_output_activate_function=False, bn=True,
+    norm_type="cumulative_laplace_norm",
+)
+
+
+def speechlike_fixture(n_utts: int, seconds: float = 4.0, sr: int = 16000, seed: int = 7):
+    """Hermetic speech-like utterances: AM harmonic stacks with F0 drift."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    for i in range(n_utts):
+        f0 = rng.uniform(90, 220) + rng.uniform(10, 40) * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        sig = sum(np.sin(k * phase) / k for k in range(1, 9))
+        env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2, 5) * t + rng.uniform(0, 6)))
+        clean = (0.2 * env * sig).astype(np.float32)
+        noise = (rng.uniform(0.03, 0.1) * rng.standard_normal(len(t))).astype(np.float32)
+        yield clean, clean + noise
+
+
+def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
+    alpha = float(np.dot(est, ref) / np.dot(ref, ref))
+    return float(10 * np.log10(np.sum((alpha * ref) ** 2) / (np.sum((alpha * ref - est) ** 2) + 1e-12)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="model_zoo")
+    ap.add_argument("--sizes", nargs="+", default=["s", "m"], choices=["s", "m"])
+    ap.add_argument("--utts", type=int, default=8)
+    ap.add_argument("--ref-zoo", default=str(REF_ZOO))
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from spiking_fullsubnet_tpu.metrics.neuromorphic import (
+        compute_neuronops, compute_synops)
+    from spiking_fullsubnet_tpu.models.spiking_fullsubnet import (
+        separator_config, spiking_fullsubnet_apply, spiking_fullsubnet_init)
+    from spiking_fullsubnet_tpu.runtime.convert import (
+        import_spiking_fullsubnet, load_npz, load_torch_state_dict, save_npz)
+
+    out_dir = Path(args.out) / "intel_ndns" / "spike_fsb"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    entries = []
+
+    for short in args.sizes:
+        size = f"baseline_{short}"
+        ckpt = Path(args.ref_zoo) / size / "checkpoints" / "best" / "pytorch_model.bin"
+        cfg = separator_config(**COMMON, **SIZES[size])
+        sd = load_torch_state_dict(str(ckpt))
+        params, state = import_spiking_fullsubnet(sd, cfg)
+
+        npz_path = out_dir / f"{size}.npz"
+        save_npz(str(npz_path), {"params": params, "state": state})
+        # round-trip sanity: reload through the torch-free path
+        template, tstate = spiking_fullsubnet_init(jax.random.PRNGKey(0), cfg)
+        restored = load_npz(str(npz_path), {"params": template, "state": tstate})
+        params, state = restored["params"], restored["state"]
+
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        apply = jax.jit(lambda p, s, n: spiking_fullsubnet_apply(cfg, p, s, n, train=False))
+
+        sisdrs, synops_l, neuronops_l = [], [], []
+        for clean, noisy in speechlike_fixture(args.utts):
+            out = apply(params, state, jnp.asarray(noisy[None]))
+            enh = np.asarray(out["enhanced_y"])[0]
+            sisdrs.append(si_sdr(enh, clean))
+            synops_l.append(float(compute_synops(
+                out["fb_all_layer_outputs"], out["sb_all_layer_outputs"],
+                shared_weights=cfg.shared_weights)))
+            neuronops_l.append(float(compute_neuronops(
+                out["fb_all_layer_outputs"], out["sb_all_layer_outputs"])))
+
+        buffer_latency_ms = cfg.hop_length / 16000 * 1e3
+        dns_delays_ms = 0.036  # challenge enc+dec window accounting
+        entries.append({
+            "team": "spiking_fullsubnet_tpu",
+            "model": f"{size} (framework-native, cumulative_laplace_norm)",
+            "date": "2026-08-19",
+            "SI-SNR": round(float(np.mean(sisdrs)), 2),
+            "MOS_ovrl": None,  # DNSMOS requires onnxruntime (absent here)
+            "latency_enc+dec_ms": dns_delays_ms,
+            "latency_total_ms": round(buffer_latency_ms + dns_delays_ms, 3),
+            "power_proxy_Ops/s": round(float(np.mean(synops_l)) / (cfg.hop_length / 16000), 1),
+            "PDP_proxy_Ops": round(float(np.mean(synops_l)), 1),
+            "neuron_ops": round(float(np.mean(neuronops_l)), 1),
+            "params": n_params,
+            "size_kilobytes": round(npz_path.stat().st_size / 1024, 1),
+            "model_path": str(npz_path),
+        })
+        print(f"{size}: SI-SDR {entries[-1]['SI-SNR']} dB, "
+              f"synops {entries[-1]['PDP_proxy_Ops']}, params {n_params}", flush=True)
+
+    entries_path = Path(args.out) / "entries_framework.json"
+    entries_path.write_text(json.dumps(entries, indent=2))
+    subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "metricsboard_writeout.py"),
+         "-I", str(entries_path),
+         "-O", str(Path(args.out) / "metricsboard_framework")],
+        check=True,
+    )
+    print(f"Wrote {Path(args.out) / 'metricsboard_framework'}.{{yml,md}}")
+
+
+if __name__ == "__main__":
+    main()

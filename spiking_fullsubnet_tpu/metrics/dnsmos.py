@@ -62,7 +62,12 @@ def _mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=None):
         freqs = np.where(log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
         return freqs
 
-    fftfreqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    # true rFFT bin frequencies: k * sr / n_fft. For the odd n_fft used by
+    # the P.808 front-end (321) this is NOT linspace(0, sr/2) — the last bin
+    # sits at 160*16000/321 = 7975.1 Hz (caught by the golden test against
+    # an independent torch implementation; a linspace grid skews every
+    # filter edge by up to 25 Hz).
+    fftfreqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
     mel_pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
     fdiff = np.diff(mel_pts)
     ramps = mel_pts[:, None] - fftfreqs[None, :]
@@ -109,9 +114,20 @@ def _polyfit_vals(sig, bak, ovr, personalized=False):
 
 
 class DNSMOS:
-    """P.835 SIG/BAK/OVRL + P.808 MOS (metric.py:193-300)."""
+    """P.835 SIG/BAK/OVRL + P.808 MOS (metric.py:193-300).
 
-    def __init__(self, input_sr: int = 16000, device: int = -1, model_dir: Optional[str] = None):
+    `sessions=(p835, p808)` injects pre-built inference sessions (objects
+    with onnxruntime's `.run(None, {"input_1": ...})` interface) — used by
+    the golden tests to pin the windowing/mel/polynomial protocol without
+    onnxruntime, and usable to share sessions across workers.
+    """
+
+    def __init__(self, input_sr: int = 16000, device: int = -1,
+                 model_dir: Optional[str] = None, sessions=None):
+        if sessions is not None:
+            self.p835_sess, self.p808_sess = sessions
+            self.input_sr = input_sr
+            return
         try:
             import onnxruntime as ort
         except ImportError as e:

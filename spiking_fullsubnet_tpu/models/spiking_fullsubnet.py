@@ -79,6 +79,10 @@ class SpikingFullSubNetConfig:
     shared_weights: bool = False
     sequence_model: str = "GSN"
     num_spks: int = 1
+    # Shared sub-band ablation (model_low_freq_shared_subband.py intent):
+    # when set, per-section Linear adapters feed ONE shared GSU stack of
+    # this bottleneck width instead of per-section stacks.
+    sb_shared_bottleneck: Optional[int] = None
     # Mixed precision for the fb/sb recurrences ("bfloat16" on TPU); the
     # complex deep-filtering/istft signal path stays float32 regardless.
     compute_dtype: Optional[str] = None
@@ -141,6 +145,11 @@ class SpikingFullSubNetConfig:
 def spiking_fullsubnet_init(rng, cfg: SpikingFullSubNetConfig, dtype=jnp.float32):
     keys = jax.random.split(rng, 1 + cfg.num_sections)
     fb_params, fb_state = sequence_model_init(keys[0], cfg.fb_config(), dtype)
+    if cfg.sb_shared_bottleneck:
+        from .shared_subband import shared_subband_init
+
+        sb_params, sb_state = shared_subband_init(keys[1], cfg, dtype)
+        return {"fb": fb_params, "sb": sb_params}, {"fb": fb_state, "sb": sb_state}
     sb_params, sb_states = [], []
     for i in range(cfg.num_sections):
         p, s = sequence_model_init(keys[1 + i], cfg.sb_config(i), dtype)
@@ -158,6 +167,13 @@ def _subband_forward(
     train: bool,
 ):
     """SubbandModel.forward (modeling_spiking_fullsubnet.py:216-263)."""
+    if cfg.sb_shared_bottleneck:
+        from .shared_subband import shared_subband_forward
+
+        df_list, alos, new_stack = shared_subband_forward(
+            cfg, params["sb"], state["sb"], noisy_mag, fb_output, train)
+        return df_list, alos, new_stack
+
     df_coef_list = []
     all_layer_outputs = []
     new_states = []
@@ -216,7 +232,8 @@ def spiking_fullsubnet_apply(
         # norm, GSN backbone).
         from ..ops import gsu_pallas
 
-        fused_ok = cfg.norm_type is None and cfg.sequence_model == "GSN"
+        fused_ok = (cfg.norm_type is None and cfg.sequence_model == "GSN"
+                    and not cfg.sb_shared_bottleneck)
         if train and gsu_pallas.available() and cfg.sequence_model == "GSN":
             scan_mode = "layered"
         elif fused_ok and not train:

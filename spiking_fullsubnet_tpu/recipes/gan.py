@@ -300,6 +300,7 @@ class GanDenoiseTrainer(DenoiseTrainer):
             wait_for_everyone()
             if reduce_scalar_sum(early_stop_mark) != 0:
                 break
+        self.ckpt_manager.wait()  # commit any in-flight async save
 
 
 class DualGanDenoiseTrainer(GanDenoiseTrainer):

@@ -85,3 +85,55 @@ def test_only_gen_train_e2e(in_tmp, monkeypatch):
     # loss dict carries only the generator terms
     exp = in_tmp / "exp" / "tiny_onlyGen"
     assert (exp / "checkpoints" / "epoch_0001").exists()
+
+
+def test_gan_with_real_dnsmos_in_the_loop(in_tmp, monkeypatch):
+    """DNSMOS-in-the-train-step plumbing (reference trainer_GAN.py:81-97):
+    the REAL DNSMOS windowing + P.835 polynomial protocol runs inside the
+    discriminator step via injected inference sessions — verifying the
+    (score-1)/4 normalized targets beyond the SI-SDR proxy fallback."""
+    import numpy as np
+
+    from spiking_fullsubnet_tpu.metrics.dnsmos import DNSMOS
+    calls = {"n": 0}
+
+    class _P835:
+        def run(self, _none, feed):
+            assert feed["input_1"].shape == (1, 144160)
+            calls["n"] += 1
+            return [np.array([[3.0, 3.5, 2.5]], np.float32)]
+
+    class _P808:
+        def run(self, _none, feed):
+            return [np.array([[4.0]], np.float32)]
+
+    real_targets = []
+
+    def patched_dnsmos(input_sr=16000, **kw):
+        return DNSMOS(input_sr=input_sr, sessions=(_P835(), _P808()))
+
+    shutil.copy(GAN_DIR / "tiny_synthetic_GAN.toml", in_tmp / "tiny_synthetic_GAN.toml")
+    monkeypatch.syspath_prepend(str(GAN_DIR))
+    import run_GAN
+    from spiking_fullsubnet_tpu.recipes.gan import GanDenoiseTrainer
+
+    orig_batch_mos = GanDenoiseTrainer.batch_mos
+
+    def spying_batch_mos(self, enh_np, clean_np, targets):
+        # swap in the session-injected DNSMOS for this run
+        if self.dns_mos is None:
+            self.dns_mos = patched_dnsmos(input_sr=self.sr)
+        out = orig_batch_mos(self, enh_np, clean_np, targets)
+        real_targets.append({k: v.copy() for k, v in out.items()})
+        return out
+
+    monkeypatch.setattr(GanDenoiseTrainer, "batch_mos", spying_batch_mos)
+
+    t = run_GAN.main(["-C", "tiny_synthetic_GAN.toml", "-M", "train"])
+    assert t.state.epochs_trained == 1
+    assert calls["n"] > 0, "P.835 session never ran inside the train loop"
+    # targets are the normalized OVRL: ((-0.06766283*6.25 + 1.11546468*2.5
+    # + 0.04602535) - 1) / 4 = 0.35295 for every utterance
+    for batch_targets in real_targets:
+        for v in batch_targets.values():
+            np.testing.assert_allclose(v, 0.352949, atol=1e-4)

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Profiling harness: jax.profiler trace capture + XLA cost attribution.
+
+SURVEY.md §5a's TPU equivalent of the reference's (absent) profiling
+subsystem: "jax.profiler traces + per-kernel roofline accounting".
+
+Two modes, composable:
+
+  --trace-dir DIR   capture a jax.profiler trace of the flagship forward
+                    (open with TensorBoard / Perfetto). Gracefully reports
+                    when the backend transport cannot host the profiler
+                    (remote-attached dev tunnels).
+  (always)          prints the XLA compiler's own cost analysis of the
+                    jitted forward + training step (FLOPs, bytes accessed)
+                    next to the analytic roofline (runtime/roofline.py), so
+                    the analytic model is cross-checked against the
+                    compiler's count.
+
+Usage:
+    python tools/profile_trace.py [--batch 8] [--seconds 2] [--trace-dir /tmp/trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--scan-mode", default="auto")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_bundle
+    from spiking_fullsubnet_tpu.runtime.roofline import (
+        CHIP_SPECS, spiking_fullsubnet_cost)
+
+    bundle = _flagship_bundle(
+        scan_mode=args.scan_mode,
+        compute_dtype=None if args.compute_dtype == "none" else args.compute_dtype,
+    )
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = bundle["params"], bundle["state"]
+    sr = 16000
+    noisy = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (args.batch, int(args.seconds * sr))).astype(np.float32) * 0.1)
+    clean = noisy * 0.5
+
+    fwd = jax.jit(lambda p, s, n: apply_fn(cfg, p, s, n, train=False)["enhanced_y"])
+
+    def train_step(p, s, n, c):
+        def loss(p, s):
+            out = apply_fn(cfg, p, s, n, train=True)
+            return jnp.mean(jnp.abs(out["enhanced_y"] - c)), out["state"]
+
+        return jax.value_and_grad(loss, has_aux=True)(p, s)
+
+    step = jax.jit(train_step)
+
+    audio_seconds = args.batch * args.seconds
+    analytic = spiking_fullsubnet_cost(cfg, sr)
+    print(f"analytic model cost: "
+          f"{analytic.flops_per_audio_second() / 1e9:.3f} GFLOP / audio-second "
+          f"({analytic.flops_per_audio_second() * audio_seconds / 1e9:.2f} GFLOP this run)")
+
+    for name, fn, fargs in (
+        ("forward", fwd, (params, state, noisy)),
+        ("train_step", step, (params, state, noisy, clean)),
+    ):
+        lowered = fn.lower(*fargs)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        bytes_ = float(cost.get("bytes accessed", float("nan")))
+        peak = CHIP_SPECS["tpu_v5e"]["bf16"]
+        bw = CHIP_SPECS["tpu_v5e"]["hbm_gbps"]
+        print(f"XLA cost[{name}]: {flops / 1e9:.2f} GFLOP, "
+              f"{bytes_ / 1e9:.2f} GB accessed "
+              f"-> speed-of-light {max(flops / peak, bytes_ / bw) * 1e3:.2f} ms "
+              f"({'compute' if flops / peak > bytes_ / bw else 'memory'}-bound)")
+
+    # execute once (so a captured trace contains real device work)
+    out = fwd(params, state, noisy)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+
+    if args.trace_dir:
+        try:
+            with jax.profiler.trace(args.trace_dir):
+                out = fwd(params, state, noisy)
+                _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            print(f"profiler trace written to {args.trace_dir} "
+                  f"(view: tensorboard --logdir {args.trace_dir})")
+        except Exception as e:  # noqa: BLE001
+            print(f"profiler trace unavailable on this backend transport: "
+                  f"{type(e).__name__}: {str(e)[:160]}")
+
+
+if __name__ == "__main__":
+    main()

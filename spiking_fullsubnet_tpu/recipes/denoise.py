@@ -38,6 +38,12 @@ class DenoiseTrainer(BaseTrainer):
             self.dns_mos = None
             logger.warning("onnxruntime unavailable — DNSMOS disabled for validation.")
         self.north_star_metric = "si_sdr"
+        # host-side metric scoring overlaps the device eval forward (futures
+        # resolved in order by the base trainer). 2 workers: onnxruntime
+        # sessions are thread-safe for run(), numpy/ORT release the GIL.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._metric_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="val-metrics")
 
         cfg, apply_fn = self.model_config, self.model_apply
         shared = bool(getattr(cfg, "shared_weights", True)) if cfg is not None else True
@@ -84,19 +90,28 @@ class DenoiseTrainer(BaseTrainer):
 
     def validation_step(self, batch, batch_idx, dataloader_idx=0):
         mix_y, ref_y = batch[0], batch[1]
+        # jit dispatch is async: the device starts on this batch while the
+        # host thread pool is still scoring earlier batches (the base trainer
+        # resolves the returned Future, keeping at most `metric_inflight`
+        # outstanding — see runtime/trainer.py validate()).
         est_y, synops, neuronops = self._eval_forward(self.params, self.model_state, mix_y)
-        est_y = np.asarray(est_y)
-        outs = []
-        for i in range(est_y.shape[0]):
-            row = self.si_sdr(est_y[i], ref_y[i])
-            if self.dns_mos is not None:
-                row = row | self.dns_mos(est_y[i])
-            if synops is not None:
-                # per-batch cost proxies, repeated per utterance (reference
-                # freeze trainer validation_step:117-137 does the same)
-                row = row | {"synops": float(synops), "neuron_ops": float(neuronops)}
-            outs.append(row)
-        return outs
+        ref_np = np.asarray(ref_y)
+
+        def score_on_host():
+            est = np.asarray(est_y)  # blocks on the device inside the worker
+            outs = []
+            for i in range(est.shape[0]):
+                row = self.si_sdr(est[i], ref_np[i])
+                if self.dns_mos is not None:
+                    row = row | self.dns_mos(est[i])
+                if synops is not None:
+                    # per-batch cost proxies, repeated per utterance (reference
+                    # freeze trainer validation_step:117-137 does the same)
+                    row = row | {"synops": float(synops), "neuron_ops": float(neuronops)}
+                outs.append(row)
+            return outs
+
+        return self._metric_pool.submit(score_on_host)
 
     def validation_epoch_end(self, outputs, log_to_tensorboard=True):
         """pandas mean + CSV + TB (reference recipe trainer.py:68-99)."""

@@ -489,16 +489,36 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
+    # How many eval steps may have host-side metric scoring still in flight
+    # before the loop blocks on the oldest one. A validation_step may return
+    # a concurrent.futures.Future: the device forward for batch k+1..k+N then
+    # overlaps the host DNSMOS/SI-SDR scoring of batch k (the reference runs
+    # them serially — SURVEY.md §3.2 hot loop (c) / §7 hard part 6). Futures
+    # are resolved in submission order, so the gather collectives stay in the
+    # same sequence on every process.
+    metric_inflight: int = 4
+
+    def _drain_eval_steps(self, pending, out, limit: int):
+        from concurrent.futures import Future
+
+        while len(pending) > limit:
+            step_output = pending.pop(0)
+            if isinstance(step_output, Future):
+                step_output = step_output.result()
+            out.append(gather_for_metrics(step_output))
+
     def validate(self, dataloaders):
         """(reference trainer.py:470-523)"""
         if not isinstance(dataloaders, list):
             dataloaders = [dataloaders]
         validation_output = []
         for dataloader_idx, dataloader in enumerate(dataloaders):
-            dataloader_output = []
+            dataloader_output: list = []
+            pending: list = []
             for batch_idx, batch in enumerate(dataloader):
-                step_output = self.validation_step(batch, batch_idx, dataloader_idx)
-                dataloader_output.append(gather_for_metrics(step_output))
+                pending.append(self.validation_step(batch, batch_idx, dataloader_idx))
+                self._drain_eval_steps(pending, dataloader_output, self.metric_inflight)
+            self._drain_eval_steps(pending, dataloader_output, 0)
             validation_output.append(dataloader_output)
         if is_main_process():
             return self.validation_epoch_end(validation_output)
@@ -513,10 +533,12 @@ class Trainer:
         self._load_eval_weights(ckpt_path)
         test_output = []
         for dataloader_idx, dataloader in enumerate(dataloaders):
-            dataloader_out = []
+            dataloader_out: list = []
+            pending: list = []
             for batch_idx, batch in enumerate(dataloader):
-                step_output = self.test_step(batch, batch_idx, dataloader_idx)
-                dataloader_out.append(gather_for_metrics(step_output))
+                pending.append(self.test_step(batch, batch_idx, dataloader_idx))
+                self._drain_eval_steps(pending, dataloader_out, self.metric_inflight)
+            self._drain_eval_steps(pending, dataloader_out, 0)
             test_output.append(dataloader_out)
         if is_main_process():
             self.test_epoch_end(test_output)

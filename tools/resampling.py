@@ -29,8 +29,11 @@ def main():
 
     files = find_files(args.input_dir)
     jobs = [(f, args.input_dir, args.output_dir, args.sr) for f in files]
-    with ProcessPoolExecutor(max_workers=args.num_workers) as pool:
-        done = list(pool.map(resample_one, jobs))
+    if args.num_workers > 1:
+        with ProcessPoolExecutor(max_workers=args.num_workers) as pool:
+            done = list(pool.map(resample_one, jobs))
+    else:
+        done = [resample_one(j) for j in jobs]
     print(f"Resampled {len(done)} files to {args.sr} Hz under {args.output_dir}")
 
 

@@ -38,7 +38,7 @@ def main():
 
     enable_compilation_cache()
 
-    from __graft_entry__ import _flagship_bundle
+    from spiking_fullsubnet_tpu.models.presets import flagship_m as _flagship_bundle
     from spiking_fullsubnet_tpu.runtime.roofline import roofline_report
     from spiking_fullsubnet_tpu.runtime.timing import time_fn_per_iter
 

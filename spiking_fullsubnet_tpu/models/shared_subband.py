@@ -71,6 +71,7 @@ def shared_stack_config(cfg) -> SequenceModelConfig:
         bn=cfg.bn,
         use_pre_layer_norm=cfg.use_pre_layer_norm_sb,
         compute_dtype=cfg.compute_dtype,
+        backend=getattr(cfg, "backend", "auto"),
     )
 
 

@@ -86,6 +86,11 @@ class SpikingFullSubNetConfig:
     # Mixed precision for the fb/sb recurrences ("bfloat16" on TPU); the
     # complex deep-filtering/istft signal path stays float32 regardless.
     compute_dtype: Optional[str] = None
+    # GSU execution backend for the layered path: "auto" picks the Pallas
+    # TPU kernels on TPU and lax.scan elsewhere; "scan" forces the portable
+    # scan (needed e.g. when jax.export-lowering for a non-TPU platform
+    # while a TPU backend is live).
+    backend: str = "auto"
     # Execution strategy: "layered" runs one lax.scan per GSU layer per stack
     # (numerics reference); "fused" runs the whole causal fb->sb pipeline as
     # ONE scan over STFT frames (8x fewer sequential scan iterations — the
@@ -121,6 +126,7 @@ class SpikingFullSubNetConfig:
             bn=self.bn,
             use_pre_layer_norm=self.use_pre_layer_norm_fb,
             compute_dtype=self.compute_dtype,
+            backend=self.backend,
         )
 
     def sb_config(self, idx: int) -> SequenceModelConfig:
@@ -139,6 +145,7 @@ class SpikingFullSubNetConfig:
             bn=self.bn,
             use_pre_layer_norm=self.use_pre_layer_norm_sb,
             compute_dtype=self.compute_dtype,
+            backend=self.backend,
         )
 
 

@@ -29,7 +29,7 @@ import numpy as np
 
 
 def build_bundle(npz_path=None, **overrides):
-    from __graft_entry__ import _flagship_bundle
+    from spiking_fullsubnet_tpu.models.presets import flagship_m as _flagship_bundle
 
     bundle = _flagship_bundle(**overrides)
     if npz_path:
@@ -98,6 +98,9 @@ def main():
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering targets, e.g. tpu cpu (default: current backend)")
+    p.add_argument("--scan_mode", default="fused",
+                   help="execution strategy baked into the artifact (fused = "
+                        "one scan over frames, the best serving graph)")
     p.add_argument("--check", action="store_true", help="deserialize + verify vs live graph")
     args = p.parse_args()
 
@@ -105,7 +108,10 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     platforms = args.platforms or [jax.default_backend()]
 
-    bundle = build_bundle(args.npz)
+    # Pallas kernels only lower for TPU targets; force the portable scan
+    # when any requested platform is not TPU (the live backend may be TPU).
+    backend = "auto" if all(plat == "tpu" for plat in platforms) else "scan"
+    bundle = build_bundle(args.npz, scan_mode=args.scan_mode, backend=backend)
     cfg = bundle["config"]
     manifest = {
         "sample_rate": args.sr,

@@ -39,7 +39,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_bundle
+    from spiking_fullsubnet_tpu.models.presets import flagship_m as _flagship_bundle
     from spiking_fullsubnet_tpu.runtime.roofline import (
         CHIP_SPECS, spiking_fullsubnet_cost)
 

@@ -49,10 +49,39 @@ from jax.experimental.pallas import tpu as pltpu
 BN_EPS = 1e-5
 SURR_GAMMA = 1.0  # triangle surrogate width (efficient_spiking_neuron.py:85)
 
-# VMEM working budget. The v5e core has 16 MiB; leave headroom for the
-# pipeline's metadata and the compiler's own temporaries (measured on this
-# environment: 15 MiB of explicit buffers compiles, 16 MiB does not).
-VMEM_BUDGET = 11 * 1024 * 1024
+# Per-core VMEM capacity by device generation. The planner budgets a fixed
+# fraction of it: on the 16 MiB v5e core, 15 MiB of explicit buffers compiles
+# and 16 MiB does not (measured here), and 11 MiB leaves room for the
+# pipeline's metadata and the compiler's own temporaries — i.e. ~11/16 of
+# capacity is safely usable, which we scale to other generations.
+_VMEM_CAPACITY_BY_KIND = {
+    "TPU v2": 16, "TPU v3": 16, "TPU v4": 16, "TPU v4 lite": 16,
+    "TPU v5": 16, "TPU v5 lite": 16, "TPU v5p": 16, "TPU v5e": 16,
+    "TPU v6": 32, "TPU v6 lite": 32, "TPU v6e": 32, "TPU7x": 64,
+}
+_DEFAULT_VMEM_MIB = 16
+_BUDGET_FRACTION = 11 / 16
+
+
+@functools.lru_cache(maxsize=1)
+def vmem_budget() -> int:
+    """VMEM working budget (bytes) for the live device, derived from its
+    device_kind with the measured v5e value (11 MiB of 16) as the anchor and
+    16 MiB capacity as the fallback for unknown kinds."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:  # noqa: BLE001 — no devices (e.g. trace-only hosts)
+        kind = ""
+    capacity_mib = _VMEM_CAPACITY_BY_KIND.get(kind)
+    if capacity_mib is None:
+        for known, cap in _VMEM_CAPACITY_BY_KIND.items():
+            if kind.startswith(known):
+                capacity_mib = cap
+                break
+        else:
+            capacity_mib = _DEFAULT_VMEM_MIB
+    return int(capacity_mib * 1024 * 1024 * _BUDGET_FRACTION)
+
 
 _INTERPRET = False  # flipped by tests on CPU
 
@@ -105,7 +134,7 @@ def _plan(T: int, B: int, H: int, shared: bool, train: bool, bn: bool,
             per_row = g + hp
         fixed = 4 * (hp * g * 2 + 8 * hp + 3 * b_blk * hp)  # weights+grads+carries
         per_t = b_blk * per_row * 4 * 2  # double-buffered
-        t_blk = max((VMEM_BUDGET - fixed) // per_t, 0)
+        t_blk = max((vmem_budget() - fixed) // per_t, 0)
         t_blk = min(t_blk, 128, _round_up(T, 8))
         # power-of-two-ish for clean grids
         for cand in (128, 64, 32, 16, 8, 4, 2, 1):
@@ -701,7 +730,7 @@ def gsu_stack_eval_pallas(
     while True:
         fixed = w_bytes + (io_bytes + 4) * L * b_blk * hp
         per_t = b_blk * (fp + L * hp) * io_bytes * 2
-        tb = max((VMEM_BUDGET - fixed) // per_t, 0)
+        tb = max((vmem_budget() - fixed) // per_t, 0)
         tb = min(tb, 128, _round_up(T, 8))
         for cand in (128, 64, 32, 16, 8, 4, 2, 1):
             if cand <= tb:

@@ -440,6 +440,7 @@ class Trainer:
             if steps_exhausted:
                 break
         self.ckpt_manager.wait()  # commit any in-flight async save
+        self.close()
 
     def finetune(self, train_dataloader, validation_dataloaders, ckpt_path="best"):
         """Warm-start the weights from a checkpoint, then train with a fresh
@@ -540,8 +541,11 @@ class Trainer:
                 self._drain_eval_steps(pending, dataloader_out, self.metric_inflight)
             self._drain_eval_steps(pending, dataloader_out, 0)
             test_output.append(dataloader_out)
+        result = None
         if is_main_process():
-            self.test_epoch_end(test_output)
+            result = self.test_epoch_end(test_output)
+        self.close()
+        return result
 
     def predict(self, dataloaders, ckpt_path="best"):
         """(reference trainer.py:565-595)"""
@@ -553,3 +557,11 @@ class Trainer:
         for dataloader_idx, dataloader in enumerate(dataloaders):
             for batch_idx, batch in enumerate(dataloader):
                 self.predict_step(batch, batch_idx, dataloader_idx)
+        self.close()
+
+    def close(self):
+        """Release per-run host resources (thread pools, sessions).
+
+        Called at the end of train/test/predict; idempotent, and subclasses
+        that allocate lazily may be used again after close().
+        """

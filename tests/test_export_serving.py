@@ -79,11 +79,12 @@ def test_streaming_export_roundtrip_multi_step(tool, tiny_bundle):
 
 def test_cli_writes_artifacts_and_manifest(tool, tmp_path, monkeypatch):
     orig_build = tool.build_bundle
+    tiny = dict(fb_hidden_size=16, sb_hidden_size=8, fb_num_layers=1,
+                sb_num_layers=1, df_orders=[2, 1, 1], scan_mode="layered")
     monkeypatch.setattr(
         tool, "build_bundle",
-        lambda npz=None, **kw: orig_build(
-            npz, fb_hidden_size=16, sb_hidden_size=8, fb_num_layers=1,
-            sb_num_layers=1, df_orders=[2, 1, 1], scan_mode="layered", **kw),
+        # tiny defaults, overridden by whatever main() forwards (e.g. scan_mode)
+        lambda npz=None, **kw: orig_build(npz, **{**tiny, **kw}),
     )
     out = tmp_path / "exported"
     monkeypatch.setattr(sys, "argv", [

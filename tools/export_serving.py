@@ -111,6 +111,16 @@ def main():
     # Pallas kernels only lower for TPU targets; force the portable scan
     # when any requested platform is not TPU (the live backend may be TPU).
     backend = "auto" if all(plat == "tpu" for plat in platforms) else "scan"
+    if backend == "auto" and jax.default_backend() not in ("tpu", "axon"):
+        # backend="auto" resolves against the LIVE backend at trace time, so a
+        # CPU host would silently bake the portable scan into a "tpu" artifact.
+        print(
+            "WARNING: --platforms tpu requested from a non-TPU host "
+            f"(live backend: {jax.default_backend()}); the artifact will bake "
+            "the portable scan path, not the Pallas TPU kernels. Re-export on "
+            "a TPU host for the production execution path."
+        )
+        backend = "scan"
     bundle = build_bundle(args.npz, scan_mode=args.scan_mode, backend=backend)
     cfg = bundle["config"]
     manifest = {
@@ -146,11 +156,29 @@ def main():
         name = f"streaming_step_b{args.batch}_cf{args.chunk_frames}.jaxexp"
         blob = exported.serialize()
         (out_dir / name).write_bytes(blob)
+        # Initial-state template: a serving process has no model code, so ship
+        # the zero-valued init state as an .npz of leaves (path -> array). The
+        # artifact's in_tree rebuilds the pytree from these leaves in order.
+        import jax.numpy as jnp  # noqa: F401 (jax already imported)
+        from jax.tree_util import tree_flatten_with_path, keystr
+
+        leaves, _ = tree_flatten_with_path(state)
+        state_name = f"streaming_init_state_b{args.batch}.npz"
+        np.savez(out_dir / state_name,
+                 **{keystr(path): np.asarray(leaf) for path, leaf in leaves})
         manifest["artifacts"]["streaming"] = {
             "file": name,
             "chunk_samples": int(chunk.shape[1]),
             "latency_budget_ms": args.chunk_frames * cfg.hop_length / args.sr * 1e3,
-            "state": "opaque pytree: pass the step's returned state back in",
+            "state": "pytree; initial value shipped as init_state_file "
+                     "(flattened leaves in tree order) — thread the step's "
+                     "returned state back in",
+            "init_state_file": state_name,
+            "init_state_leaves": [
+                {"path": keystr(path), "shape": list(np.shape(leaf)),
+                 "dtype": str(np.asarray(leaf).dtype)}
+                for path, leaf in leaves
+            ],
             "bytes": len(blob),
         }
         if args.check:

@@ -94,8 +94,11 @@ class SpikingFullSubNetConfig:
     # Execution strategy: "layered" runs one lax.scan per GSU layer per stack
     # (numerics reference); "fused" runs the whole causal fb->sb pipeline as
     # ONE scan over STFT frames (8x fewer sequential scan iterations — the
-    # model is dispatch-bound on TPU, see models/fused_forward.py). Requires
-    # norm_type=None and the GSN backbone.
+    # model is dispatch-bound on TPU, see models/fused_forward.py); "mega"
+    # (eval only, TPU) runs that pipeline as ONE Pallas kernel with all
+    # weights + carries VMEM-resident — the serving path (ops/mega_eval.py;
+    # no per-layer spike tensors in the output dict). Requires norm_type=None
+    # and the GSN backbone.
     scan_mode: str = "layered"
 
     @property
@@ -247,6 +250,14 @@ def spiking_fullsubnet_apply(
             scan_mode = "fused"
         else:
             scan_mode = "layered"
+
+    if scan_mode == "mega":
+        if train:
+            raise ValueError("scan_mode='mega' is eval-only; training uses the "
+                             "layered Pallas vjp kernels (scan_mode='auto').")
+        from .mega_forward import spiking_fullsubnet_mega_forward
+
+        return spiking_fullsubnet_mega_forward(cfg, params, state, noisy_y)
 
     if scan_mode == "fused":
         from .fused_forward import spiking_fullsubnet_fused_forward

@@ -30,16 +30,30 @@ def deep_filter(complex_spec, coef, order: int, num_spks: int):
 
     Args:
         complex_spec: [B, C, F, T] complex.
-        coef: [B, C*order, S, F, T, 2] real/imag coefficient tensor.
+        coef: [B, C*order, S, F, T, 2] real/imag coefficient tensor (any real
+            float dtype; bf16 coefficients upcast inside the multiply, so the
+            HBM read stays half-width under the mixed-precision policy).
 
     Returns:
         [B, C, S, F, T] complex.
+
+    out[b,c,s,f,t] = sum_d taps[b,c,f,t,d] * coef[b,c,d,s,f,t] with causal
+    taps taps[..., d] = spec[..., t - order + 1 + d]. Implemented as `order`
+    shifted multiply-adds instead of materializing the [.., T, order] tap
+    tensor + einsum: at serving shapes (B=256, T=3750) the tap tensor is
+    multi-GB and the einsum becomes pure HBM traffic; the shifted form is a
+    single fused elementwise pass per tap.
     """
-    spec_taps = _time_unfold(complex_spec, order)  # [B, C, F, T, df]
-    complex_coef = coef[..., 0] + 1j * coef[..., 1]
-    complex_coef = rearrange(complex_coef, "b (c df) s f t -> b c df s f t", df=order)
-    # out[b,c,s,f,t] = sum_d spec[b,c,f,t,d] * coef[b,c,d,s,f,t]
-    return jnp.einsum("bcftd,bcdsft->bcsft", spec_taps, complex_coef)
+    complex_coef = rearrange(coef, "b (c df) s f t ri -> b c df s f t ri", df=order)
+    T = complex_spec.shape[-1]
+    padded = jnp.pad(complex_spec, [(0, 0)] * (complex_spec.ndim - 1) + [(order - 1, 0)])
+    out = None
+    for d in range(order):
+        tap = padded[..., d : d + T][:, :, None]  # [B, C, 1, F, T]
+        cd = complex_coef[:, :, d]
+        term = tap * (cd[..., 0] + 1j * cd[..., 1])
+        out = term if out is None else out + term
+    return out
 
 
 def deep_filter_single(complex_spec, coefs, frame_size: int):

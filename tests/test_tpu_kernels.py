@@ -1,0 +1,154 @@
+"""Real-TPU Pallas kernel parity — compiled, on hardware, in-tree.
+
+The rest of the suite pins the Pallas kernels in interpret mode on CPU
+(tests/test_gsu_pallas.py, test_mega_eval.py); Mosaic lowering bugs can
+hide from interpret mode, so this module re-runs the parity comparisons
+COMPILED on the real chip. The suite's conftest forces the CPU backend
+in-process, so each check runs in a subprocess with a clean JAX config;
+tests skip (with the reason) only when no TPU is attached.
+
+Run: the default `pytest tests/` on a TPU host executes these compiled.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+_PROBE = """
+import jax
+print("BACKEND", jax.default_backend())
+"""
+
+
+def _run_child(code: str, timeout: int = 900) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the TPU plugin register
+    # keep any compilation cache settings so repeat runs are fast
+    return subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(code)],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=str(REPO),
+    )
+
+
+def _tpu_available() -> bool:
+    try:
+        out = _run_child(_PROBE, timeout=300)
+    except subprocess.TimeoutExpired:
+        return False
+    return any(b in out.stdout for b in ("BACKEND tpu", "BACKEND axon"))
+
+
+tpu = pytest.mark.skipif(not _tpu_available(), reason="no TPU attached")
+
+
+@tpu
+def test_gsu_stack_kernels_compiled_parity():
+    """Layer + fused-stack eval kernels vs the lax.scan oracle, compiled."""
+    code = """
+    import numpy as np, jax, jax.numpy as jnp
+    from spiking_fullsubnet_tpu.runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from spiking_fullsubnet_tpu.ops.gsu import gsu_stack_apply, gsu_stack_init
+    from spiking_fullsubnet_tpu.ops.gsu_pallas import (
+        gsu_stack_apply_pallas, gsu_stack_eval_pallas)
+
+    T, B, H, F = 50, 16, 64, 48
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, B, F), dtype=np.float32))
+    for shared in (False, True):
+        params, state = gsu_stack_init(
+            jax.random.PRNGKey(1), input_size=F, hidden_size=H,
+            num_layers=2, shared_weights=shared, bn=True)
+        ref, ref_alo, _ = jax.jit(
+            lambda p, s, x: gsu_stack_apply(p, s, x, H, shared, False, backend="scan")
+        )(params, state, x)
+        got, got_alo, _ = jax.jit(
+            lambda p, s, x: gsu_stack_apply_pallas(p, s, x, H, shared, False)
+        )(params, state, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0, rtol=0)
+        fus, _, _ = jax.jit(
+            lambda p, s, x: gsu_stack_eval_pallas(p, s, x, H, shared)
+        )(params, state, x)
+        # fused stack computes xg in-kernel (different summation order):
+        # binary spikes must still agree except at exact-threshold ties
+        mismatch = float(jnp.mean(jnp.abs(fus - ref)))
+        assert mismatch < 2e-3, mismatch
+    print("GSU_OK")
+    """
+    out = _run_child(code)
+    assert "GSU_OK" in out.stdout, out.stdout + out.stderr
+
+
+@tpu
+def test_gsu_train_kernel_compiled_grads():
+    """Training forward + reverse-time backward kernel vs scan grads, compiled."""
+    code = """
+    import numpy as np, jax, jax.numpy as jnp
+    from spiking_fullsubnet_tpu.runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from spiking_fullsubnet_tpu.ops.gsu import gsu_stack_apply, gsu_stack_init
+    from spiking_fullsubnet_tpu.ops.gsu_pallas import gsu_stack_apply_pallas
+
+    T, B, H, F = 40, 16, 64, 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, B, F), dtype=np.float32))
+    params, state = gsu_stack_init(
+        jax.random.PRNGKey(1), input_size=F, hidden_size=H,
+        num_layers=2, shared_weights=True, bn=True)
+
+    def loss_scan(p):
+        out, _, _ = gsu_stack_apply(p, state, x, H, True, True, backend="scan")
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_pallas(p):
+        out, _, _ = gsu_stack_apply_pallas(p, state, x, H, True, True)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g_ref = jax.jit(jax.grad(loss_scan))(params)
+    g_got = jax.jit(jax.grad(loss_pallas))(params)
+    for (pa, a), (pb, bb) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_got)):
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), rtol=2e-4, atol=2e-4,
+            err_msg=str(pa))
+    print("GRAD_OK")
+    """
+    out = _run_child(code)
+    assert "GRAD_OK" in out.stdout, out.stdout + out.stderr
+
+
+@tpu
+def test_mega_kernel_compiled_parity():
+    """Whole-model mega kernel vs the fused scan, compiled on hardware."""
+    code = """
+    import numpy as np, jax, jax.numpy as jnp
+    from spiking_fullsubnet_tpu.runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from spiking_fullsubnet_tpu.models.presets import flagship_m
+    from spiking_fullsubnet_tpu.models.fused_forward import spiking_fullsubnet_fused_forward
+    from spiking_fullsubnet_tpu.models.mega_forward import spiking_fullsubnet_mega_forward
+
+    b = flagship_m(fb_hidden_size=64, sb_hidden_size=32, df_orders=[2, 1, 1])
+    cfg, params, state = b["config"], b["params"], b["state"]
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((4, 16000), dtype=np.float32) * 0.1)
+    ref = jax.jit(lambda p, s, n: spiking_fullsubnet_fused_forward(
+        cfg, p, s, n, train=False)["enhanced_y"])(params, state, noisy)
+    got = jax.jit(lambda p, s, n: spiking_fullsubnet_mega_forward(
+        cfg, p, s, n)["enhanced_y"])(params, state, noisy)
+    ref, got = np.asarray(ref), np.asarray(got)
+    rel = np.linalg.norm(ref - got) / (np.linalg.norm(ref) + 1e-12)
+    assert rel < 1e-3, rel
+    print("MEGA_OK", rel)
+    """
+    out = _run_child(code)
+    assert "MEGA_OK" in out.stdout, out.stdout + out.stderr

@@ -173,26 +173,53 @@ class STOI:
 
 
 class PESQ:
-    """PESQ metric wrapper (metric.py:42-64); requires the `pesq` wheel."""
+    """PESQ metric wrapper (metric.py:42-64).
 
-    def __init__(self, sr: int = 16000, mode: str = "wb") -> None:
+    Uses the `pesq` wheel (the compiled ITU-T P.862 reference code) when it
+    is importable; otherwise falls back to the self-contained numpy
+    implementation in pesq_p862.py (P.862-structured, documented
+    approximations — see that module's docstring), so the metric always
+    executes. `backend` forces one of "itu" / "numpy" / "auto".
+    """
+
+    def __init__(self, sr: int = 16000, mode: str = "wb", backend: str = "auto") -> None:
         if mode not in ("wb", "nb"):
             raise ValueError(f"Unsupported mode: {mode}. Expected 'wb' or 'nb'.")
+        if backend not in ("auto", "itu", "numpy"):
+            raise ValueError(f"Unsupported backend: {backend}.")
         self.sr = sr
         self.mode = mode
+        self.backend = backend
+        self._warned = False
 
     def __call__(self, est, ref):
         est, ref = preprocessing(est, ref)
-        try:
-            from pesq import pesq as pesq_backend
-        except ImportError as e:
-            raise ImportError(
-                "PESQ requires the `pesq` package (ITU-T P.862 reference binary), "
-                "which is not bundled in this environment."
-            ) from e
         sr, mode = self.sr, self.mode
-        if sr not in (8000, 16000):
+        if sr not in (8000, 16000) or (mode == "wb" and sr != 16000):
             ref = _resample(ref, sr, 16000)
             est = _resample(est, sr, 16000)
             sr = 16000
-        return {f"pesq_{mode}": pesq_backend(sr, ref, est, mode)}
+        backend = self.backend
+        if backend in ("auto", "itu"):
+            try:
+                from pesq import pesq as pesq_backend
+
+                return {f"pesq_{mode}": float(pesq_backend(sr, ref, est, mode))}
+            except ImportError:
+                if backend == "itu":
+                    raise ImportError(
+                        "PESQ backend='itu' requires the `pesq` package "
+                        "(ITU-T P.862 reference binary)."
+                    )
+        if not self._warned:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pesq wheel unavailable — scoring with the self-contained "
+                "P.862-structured implementation (metrics/pesq_p862.py); "
+                "values track but do not bit-match the ITU binary."
+            )
+            self._warned = True
+        from .pesq_p862 import pesq_p862
+
+        return {f"pesq_{mode}": pesq_p862(ref, est, fs=sr, mode=mode)}

@@ -58,7 +58,9 @@ def test_offline_export_roundtrip(tool, tiny_bundle):
 
     restored = jax.export.deserialize(blob)
     got = restored.call(x)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # the cpu-platform artifact and the live default backend (TPU on the
+    # bench machine) differ by float32 summation order — not bit-exact
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
 def test_streaming_export_roundtrip_multi_step(tool, tiny_bundle):
@@ -72,9 +74,9 @@ def test_streaming_export_roundtrip_multi_step(tool, tiny_bundle):
         c = jnp.asarray(rng.standard_normal(chunk.shape, dtype=np.float32) * 0.1)
         st_live, y_live = enhancer.step(st_live, c)
         st_art, y_art = restored.call(st_art, c)
-        np.testing.assert_array_equal(np.asarray(y_art), np.asarray(y_live))
+        np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_live), rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(st_art), jax.tree_util.tree_leaves(st_live)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
 def test_cli_writes_artifacts_and_manifest(tool, tmp_path, monkeypatch):

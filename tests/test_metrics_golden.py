@@ -26,7 +26,14 @@ from spiking_fullsubnet_tpu.metrics.dnsmos import (
     _melspectrogram,
     _power_to_db,
 )
-from spiking_fullsubnet_tpu.metrics.metrics import STOI, _thirdoct, stoi
+from spiking_fullsubnet_tpu.metrics.metrics import PESQ, STOI, _thirdoct, stoi
+from spiking_fullsubnet_tpu.metrics.pesq_p862 import (
+    _band_tables,
+    _bark,
+    _crude_align,
+    _grouping_matrix,
+    pesq_p862,
+)
 
 
 # --------------------------------------------------------------------- mel
@@ -210,3 +217,99 @@ def test_stoi_thirdoct_band_structure():
     assert (obm.sum(axis=0) <= 1.0 + 1e-9).all()
     lo_bin = obm.argmax(axis=1)
     assert (np.diff(lo_bin) > 0).all()
+
+# --------------------------------------------------------------------- pesq
+
+
+def _speech_16k(n, seed=0, sr=16000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    f0 = 120 + 30 * np.sin(2 * np.pi * 2.1 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    sig = sum(np.sin(k * phase) / k for k in range(1, 7))
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.7 * t))
+    return (env * sig).astype(np.float64), rng
+
+
+def test_pesq_identity_hits_the_published_caps():
+    """Identical signals must score the documented maxima: the P.862.2 wb
+    mapping of raw=4.5 is 4.644, the P.862.1 nb mapping is 4.549."""
+    clean, _ = _speech_16k(16000 * 3)
+    assert pesq_p862(clean, clean, 16000, "wb") == pytest.approx(4.6439, abs=2e-3)
+    assert pesq_p862(clean, clean, 16000, "nb") == pytest.approx(4.5486, abs=2e-3)
+
+
+def test_pesq_contract_snr_monotone_scale_and_delay_invariant():
+    clean, rng = _speech_16k(16000 * 4)
+    noise = rng.standard_normal(len(clean))
+
+    # monotone decreasing with noise over the meaningful SNR range
+    scores = [pesq_p862(clean, clean + a * noise, 16000, "wb")
+              for a in (0.003, 0.01, 0.03, 0.1, 0.3, 1.0)]
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 4.5 and scores[-1] < 1.7  # full range exercised
+    assert 1.0 <= min(scores) and max(scores) <= 4.65
+
+    # level alignment: global gain on the estimate is a no-op
+    a = pesq_p862(clean, clean + 0.03 * noise, 16000, "wb")
+    b = pesq_p862(clean, 3.7 * (clean + 0.03 * noise), 16000, "wb")
+    assert a == pytest.approx(b, abs=5e-3)
+
+    # constant-delay alignment recovers the identity score
+    delayed = np.concatenate([np.zeros(800), clean])[: len(clean)]
+    assert pesq_p862(clean, delayed, 16000, "wb") == pytest.approx(4.6439, abs=5e-3)
+
+
+def test_pesq_frozen_regression_values():
+    """Pinned outputs on fixed fixtures: catches unintended numerical drift
+    in the perceptual model (values frozen from this implementation, see
+    pesq_p862.py docstring for the calibration provenance)."""
+    clean, rng = _speech_16k(16000 * 4)
+    noise = rng.standard_normal(len(clean))
+    got = [round(pesq_p862(clean, clean + a * noise, 16000, "wb"), 4)
+           for a in (0.03, 0.1, 0.3)]
+    frozen = [3.5185, 2.0940, 1.5542]
+    np.testing.assert_allclose(got, frozen, atol=1e-3)
+
+
+def test_pesq_band_grid_structure():
+    """49 bands at 16 kHz / 42 at 8 kHz, uniform on the Zwicker scale, every
+    FFT bin in range owned by exactly one band."""
+    for fs, nb in ((16000, 49), (8000, 42)):
+        edges, centre, width = _band_tables(fs)
+        assert len(centre) == nb and len(width) == nb
+        z = _bark(edges)
+        np.testing.assert_allclose(np.diff(z), np.diff(z)[0], rtol=1e-9)
+        gm = _grouping_matrix(fs, 512 if fs == 16000 else 256)
+        assert gm.shape[0] == nb
+        # averaging matrix: rows sum to 1 where the band owns bins
+        rs = gm.sum(axis=1)
+        np.testing.assert_allclose(rs[rs > 0], 1.0, rtol=1e-9)
+
+
+def test_pesq_crude_alignment_finds_known_delay():
+    clean, _ = _speech_16k(16000 * 3)
+    for d in (0, 640, 1600):
+        deg = np.concatenate([np.zeros(d), clean])
+        est = _crude_align(clean, deg, 16000)
+        assert abs(est - d) <= 64, (d, est)  # within one 4 ms envelope hop
+
+
+def test_pesq_wrapper_falls_back_without_wheel():
+    clean, rng = _speech_16k(16000 * 3)
+    out = PESQ(sr=16000, mode="wb")(clean + 0.05 * rng.standard_normal(len(clean)), clean)
+    assert "pesq_wb" in out and 1.0 <= out["pesq_wb"] <= 4.65
+    with pytest.raises(ImportError):
+        PESQ(sr=16000, mode="wb", backend="itu")(clean, clean)
+
+
+def test_pesq_input_validation():
+    clean, _ = _speech_16k(16000)
+    with pytest.raises(ValueError):
+        pesq_p862(clean, clean, 16000, "xx")
+    with pytest.raises(ValueError):
+        pesq_p862(clean, clean, 44100, "wb")
+    with pytest.raises(ValueError):
+        pesq_p862(clean[:100], clean[:100], 16000, "wb")
+    with pytest.raises(ValueError):
+        pesq_p862(clean, clean, 8000, "wb")  # wb requires 16 kHz

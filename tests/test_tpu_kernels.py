@@ -104,22 +104,37 @@ def test_gsu_train_kernel_compiled_grads():
         jax.random.PRNGKey(1), input_size=F, hidden_size=H,
         num_layers=2, shared_weights=True, bn=True)
 
+    w = jnp.asarray(rng.standard_normal((T, B, H), dtype=np.float32))
+
     def loss_scan(p):
         out, _, _ = gsu_stack_apply(p, state, x, H, True, True, backend="scan")
-        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+        return jnp.sum(out * w)
 
     def loss_pallas(p):
         out, _, _ = gsu_stack_apply_pallas(p, state, x, H, True, True)
-        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+        return jnp.sum(out * w)
 
-    g_ref = jax.jit(jax.grad(loss_scan))(params)
-    g_got = jax.jit(jax.grad(loss_pallas))(params)
+    # At XLA's DEFAULT f32 matmul precision the MXU runs bf16 passes, and the
+    # two implementations group matmuls differently, so grads drift apart at
+    # ~1e-3 relative (measured; both equally far from the f64 truth). Compare
+    # at HIGHEST precision where true-f32 parity must hold tightly.
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.jit(jax.grad(loss_scan))(params)
+        g_got = jax.jit(jax.grad(loss_pallas))(params)
     for (pa, a), (pb, bb) in zip(
         jax.tree_util.tree_leaves_with_path(g_ref),
         jax.tree_util.tree_leaves_with_path(g_got)):
         np.testing.assert_allclose(
             np.asarray(bb), np.asarray(a), rtol=2e-4, atol=2e-4,
             err_msg=str(pa))
+
+    # default precision: same kernels, loose agreement only (bf16 passes)
+    gd_ref = jax.jit(jax.grad(loss_scan))(params)
+    gd_got = jax.jit(jax.grad(loss_pallas))(params)
+    for a, bb in zip(jax.tree_util.tree_leaves(gd_ref), jax.tree_util.tree_leaves(gd_got)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        rel = np.max(np.abs(a - bb)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 5e-3, rel
     print("GRAD_OK")
     """
     out = _run_child(code)

@@ -35,6 +35,7 @@ between fb and sb and keep the layered path.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -65,9 +66,11 @@ def _reflect_unfold_indices(lo: int, hi: int, ctr: int, nbr: int, num_freqs: int
 
 def _cell_step(layer_params, xg_t, rg_in, hidden: int, shared: bool, c, acc_dtype,
                bn_mode: Optional[str], bn_aux, compute_dtype):
-    """One GSU cell timestep. xg_t: precomputed input gates [R, rows] (already
-    in acc_dtype); rg_in: recurrent input spikes [R, H] (compute dtype).
-    Returns (hy, cy, stats). Math identical to ops/gsu._gsu_layer_apply."""
+    """One GSU cell timestep. xg_t: precomputed input gates [..., rows]
+    (already in acc_dtype); rg_in: recurrent input spikes [..., H] (compute
+    dtype). Leading axes are arbitrary batch dims (the sub-band stacks run
+    [N, B, .] so the mesh can shard N over the band axis). Returns
+    (hy, cy, stats). Math identical to ops/gsu._gsu_layer_apply."""
     w_hh_t = layer_params["weight_hh"].T
     b = layer_params["bias_ih"].astype(acc_dtype)
     b_f, b_c = b[:hidden], b[hidden:]
@@ -76,15 +79,16 @@ def _cell_step(layer_params, xg_t, rg_in, hidden: int, shared: bool, c, acc_dtyp
         f_in = xg_t + rg + b_f
         c_in = xg_t + rg + b_c
     else:
-        f_in = xg_t[:, :hidden] + rg[:, :hidden] + b_f
-        c_in = xg_t[:, hidden:] + rg[:, hidden:] + b_c
+        f_in = xg_t[..., :hidden] + rg[..., :hidden] + b_f
+        c_in = xg_t[..., hidden:] + rg[..., hidden:] + b_c
     f = jax.nn.sigmoid(f_in)
     cy = f * c + (1.0 - f) * c_in
     stats = ()
+    batch_axes = tuple(range(cy.ndim - 1))  # all but the feature axis
     if bn_mode == "train":
         bn_w, bn_b = bn_aux
-        mean = jnp.mean(cy, axis=0)
-        var = jnp.mean(jnp.square(cy - mean), axis=0)
+        mean = jnp.mean(cy, axis=batch_axes)
+        var = jnp.mean(jnp.square(cy - mean), axis=batch_axes)
         cy = (cy - mean) * jax.lax.rsqrt(var + 1e-5)
         cy = cy * bn_w + bn_b
         stats = (mean, var)
@@ -155,14 +159,62 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
         fb_in.reshape(T * B, -1), w_ih0.T, preferred_element_type=acc_dtype
     ).reshape(T, B, -1)
 
+    # ---- sharding constraints (multi-chip): data shards the utterance
+    # batch, band shards the folded sub-band axis N — the width dimension
+    # SURVEY §2d names (modeling_spiking_fullsubnet.py:155). Sub-band
+    # tensors keep N and B as SEPARATE leading axes through the scan, so
+    # P(band, data) splits each utterance's sub-band GSU rows across the
+    # band axis with zero per-step collectives (rows are independent;
+    # weights replicate). Requires a mesh context at trace time.
+    shard = cfg.data_axis or cfg.band_axis
+    if shard:
+        from jax.lax import with_sharding_constraint
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel.mesh import current_axis_size
+
+        band_size = current_axis_size(cfg.band_axis) if cfg.band_axis else None
+
+        _p_fb = lambda x: with_sharding_constraint(  # [.., B, feat]
+            x, _P(*([None] * (x.ndim - 2)), cfg.data_axis, None))
+
+        def _p_sb(x):  # [.., N, B, feat]
+            # Band-shard only when N divides the axis: GSPMD's uneven-
+            # partition padding gives WRONG gradients for this padded
+            # scanned axis (measured, jax 0.9 — see parallel/mesh.py
+            # current_axis_size). Ragged sections stay data-sharded only.
+            n = x.shape[-3]
+            band = cfg.band_axis if (band_size is None or n % band_size == 0) else None
+            return with_sharding_constraint(
+                x, _P(*([None] * (x.ndim - 3)), band, cfg.data_axis, None))
+    else:
+        _p_fb = _p_sb = lambda x: x
+
+    xg_fb0 = _p_fb(xg_fb0)
+
     # ---- hoisted noisy-magnitude unfolds per section (pure gathers) ----
     noisy_sub_seq = []
     sub_rows = []
     for i in range(cfg.num_sections):
         lo, hi = cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1]
         ns = freq_unfold(noisy_mag, lo, hi, cfg.center_freq_sizes[i], cfg.neighbor_freq_sizes[i])
-        noisy_sub_seq.append(rearrange(ns, "b n c w t -> t (b n) (c w)").astype(compute_dtype))
+        noisy_sub_seq.append(_p_sb(rearrange(ns, "b n c w t -> t n b (c w)").astype(compute_dtype)))
         sub_rows.append(B * ns.shape[1])
+
+    if shard and os.environ.get("SFSN_INSPECT_SHARDING"):
+        from jax.debug import inspect_array_sharding
+
+        for i, ns in enumerate(noisy_sub_seq):
+            inspect_array_sharding(
+                ns,
+                callback=lambda s, i=i, shp=tuple(ns.shape): print(
+                    f"[sharding] sb section {i} activation [T,N,B,w]={shp}: {s}"),
+            )
+        inspect_array_sharding(
+            xg_fb0,
+            callback=lambda s, shp=tuple(xg_fb0.shape): print(
+                f"[sharding] fb input-gate stream [T,B,G]={shp}: {s}"),
+        )
 
     # static index maps for the per-step fullband-output unfolds
     num_repeats = (cfg.n_fft // 2 + 1) // cfg.fb_input_size
@@ -182,12 +234,14 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
         for i in range(cfg.num_sections)
     ]
 
-    def zeros_hc(rows: int, h: int) -> Tuple[Array, Array]:
-        return jnp.zeros((rows, h), compute_dtype), jnp.zeros((rows, h), acc_dtype)
+    def zeros_hc(shape: Tuple[int, ...], h: int, con) -> Tuple[Array, Array]:
+        return (con(jnp.zeros((*shape, h), compute_dtype)),
+                con(jnp.zeros((*shape, h), acc_dtype)))
 
     carry0 = {
-        "fb": [zeros_hc(B, H_fb) for _ in range(fb_cfg.num_layers)],
-        "sb": [[zeros_hc(sub_rows[i], H_sb) for _ in range(sb_cfgs[i].num_layers)]
+        "fb": [zeros_hc((B,), H_fb, _p_fb) for _ in range(fb_cfg.num_layers)],
+        "sb": [[zeros_hc((sub_rows[i] // B, B), H_sb, _p_sb)
+                for _ in range(sb_cfgs[i].num_layers)]
                for i in range(cfg.num_sections)],
     }
 
@@ -221,11 +275,11 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
         sb_stats = []
         for i in range(cfg.num_sections):
             scfg = sb_cfgs[i]
-            fb_sub = fb_full[:, fb_idx[i]]  # [B, N, w_fb]
-            fb_sub_flat = fb_sub.reshape(sub_rows[i], -1)
-            x_t = jnp.concatenate([noisy_t[i], fb_sub_flat], axis=-1)  # [R, w']
+            fb_sub = jnp.swapaxes(fb_full[:, fb_idx[i]], 0, 1)  # [N, B, w_fb]
+            x_t = jnp.concatenate([noisy_t[i], fb_sub], axis=-1)  # [N, B, w']
             if scfg.use_pre_layer_norm:
                 x_t = layer_norm_apply(sb_params[i]["pre_ln"], x_t)
+            x_t = _p_sb(x_t)
             sb_inputs.append(x_t)
             sec_states = []
             sec_spikes = []
@@ -278,12 +332,16 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
             ]}})
         new_state = {"fb": {"stack": {"layers": new_fb_layers}}, "sb": new_sb}
 
-    # ---- synops tensors (same layout as the layered path: time-major) ----
+    # ---- synops tensors (same layout as the layered path: time-major,
+    # b-major folded rows — the scan's internal [T, N, B, .] layout folds
+    # back so the two paths stay bitwise-comparable) ----
+    _fold = lambda x: rearrange(x, "t n b w -> t (b n) w")
     fb_all_layer_outputs = [fb_in] + list(ys["fb_spikes"]) + (
         [ys["fb_out"]] if fb_cfg.proj_size > 0 else []
     )
     sb_all_layer_outputs = [
-        [ys["sb_inputs"][i]] + list(ys["sb_spikes"][i]) + [ys["sb_outs"][i]]
+        [_fold(ys["sb_inputs"][i])] + [_fold(s) for s in ys["sb_spikes"][i]]
+        + [_fold(ys["sb_outs"][i])]
         for i in range(cfg.num_sections)
     ]
 
@@ -294,8 +352,8 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
         act = output_activation(sb_cfgs[i].output_activate_function)
         coef = rearrange(
             act(ys["sb_outs"][i]),
-            "t (b n) (c fc df s) -> b df s (n fc) t c",
-            b=B, s=cfg.num_spks, c=2, df=df_order,
+            "t n b (c fc df s) -> b df s (n fc) t c",
+            s=cfg.num_spks, c=2, df=df_order,
         )
         nf = coef.shape[3]
         section_spec = noisy_cmp[..., num_filtered : num_filtered + nf, :]

@@ -91,6 +91,17 @@ class SpikingFullSubNetConfig:
     # scan (needed e.g. when jax.export-lowering for a non-TPU platform
     # while a TPU backend is live).
     backend: str = "auto"
+    # Multi-chip activation sharding (fused path): mesh axis names for the
+    # utterance batch (data_axis) and the folded sub-band dimension
+    # (band_axis — the width axis of SURVEY §2d, reference
+    # modeling_spiking_fullsubnet.py:155). When set, the fused scan keeps
+    # [N, B] as separate axes and pins P(band, data) on every sub-band
+    # activation/carry, so each utterance's sub-band GSU rows genuinely
+    # split across the band axis (no per-step collectives — rows are
+    # independent and weights replicate). Requires a mesh context at trace
+    # time; None (default) is the single-chip/no-constraint path.
+    data_axis: Optional[str] = None
+    band_axis: Optional[str] = None
     # Execution strategy: "layered" runs one lax.scan per GSU layer per stack
     # (numerics reference); "fused" runs the whole causal fb->sb pipeline as
     # ONE scan over STFT frames (8x fewer sequential scan iterations — the

@@ -49,25 +49,26 @@ from jax.experimental.pallas import tpu as pltpu
 BN_EPS = 1e-5
 SURR_GAMMA = 1.0  # triangle surrogate width (efficient_spiking_neuron.py:85)
 
-# Per-core VMEM capacity by device generation. The planner budgets a fixed
-# fraction of it: on the 16 MiB v5e core, 15 MiB of explicit buffers compiles
-# and 16 MiB does not (measured here), and 11 MiB leaves room for the
-# pipeline's metadata and the compiler's own temporaries — i.e. ~11/16 of
-# capacity is safely usable, which we scale to other generations.
+# Per-core VMEM capacity by device generation. Mosaic's DEFAULT scoped-VMEM
+# limit is ~16 MiB (a 16 MiB scratch fails to compile out of the box —
+# measured here on v5e), but the hardware has 128 MiB/core: with
+# CompilerParams(vmem_limit_bytes=128 MiB) a 100 MiB scratch buffer compiles
+# AND runs on this chip (measured 2026-08). Every pallas_call in this module
+# therefore passes an explicit vmem limit, and the planner budgets 3/4 of
+# capacity, leaving the rest for the grid pipeline's double buffers and the
+# compiler's temporaries.
 _VMEM_CAPACITY_BY_KIND = {
-    "TPU v2": 16, "TPU v3": 16, "TPU v4": 16, "TPU v4 lite": 16,
-    "TPU v5": 16, "TPU v5 lite": 16, "TPU v5p": 16, "TPU v5e": 16,
-    "TPU v6": 32, "TPU v6 lite": 32, "TPU v6e": 32, "TPU7x": 64,
+    "TPU v2": 16, "TPU v3": 16, "TPU v4": 128, "TPU v4 lite": 128,
+    "TPU v5": 128, "TPU v5 lite": 128, "TPU v5p": 128, "TPU v5e": 128,
+    "TPU v6": 128, "TPU v6 lite": 128, "TPU v6e": 128, "TPU7x": 128,
 }
-_DEFAULT_VMEM_MIB = 16
-_BUDGET_FRACTION = 11 / 16
+_DEFAULT_VMEM_MIB = 16  # unknown device: stay within Mosaic's default limit
+_BUDGET_FRACTION = 3 / 4
 
 
 @functools.lru_cache(maxsize=1)
-def vmem_budget() -> int:
-    """VMEM working budget (bytes) for the live device, derived from its
-    device_kind with the measured v5e value (11 MiB of 16) as the anchor and
-    16 MiB capacity as the fallback for unknown kinds."""
+def vmem_capacity() -> int:
+    """Physical per-core VMEM (bytes) for the live device_kind."""
     try:
         kind = jax.devices()[0].device_kind
     except Exception:  # noqa: BLE001 — no devices (e.g. trace-only hosts)
@@ -80,7 +81,21 @@ def vmem_budget() -> int:
                 break
         else:
             capacity_mib = _DEFAULT_VMEM_MIB
-    return int(capacity_mib * 1024 * 1024 * _BUDGET_FRACTION)
+    return capacity_mib * 1024 * 1024
+
+
+def compiler_params() -> "pltpu.CompilerParams":
+    """CompilerParams raising Mosaic's scoped-VMEM limit to the device
+    capacity (the default ~16 MiB limit, not the hardware, is what bounds
+    naive kernels — see _VMEM_CAPACITY_BY_KIND note)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_capacity())
+
+
+@functools.lru_cache(maxsize=1)
+def vmem_budget() -> int:
+    """VMEM working budget (bytes) the planners may spend on explicit
+    weights/carries/streams: 3/4 of device capacity."""
+    return int(vmem_capacity() * _BUDGET_FRACTION)
 
 
 _INTERPRET = False  # flipped by tests on CPU
@@ -314,6 +329,7 @@ def _run_fwd(cfg: _KCfg, xg_p, w_p, b2, bnp, save_res: bool):
             pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
     )(xg_p, w_p, b2, bnp)
     return spikes, y, stats, bnd
 
@@ -467,6 +483,7 @@ def _run_bwd(cfg: _KCfg, xg_p, y, gout_p, bnd, stats, w_p, b2, bnp):
             pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
     )(xg_p, y, gout_p, bnd, stats, w_p, b2, bnp)
     return dxg, dw, db, dbn
 
@@ -796,6 +813,7 @@ def gsu_stack_eval_pallas(
             pltpu.VMEM((L, b_blk, hp), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
     )(x_p, wih0, wihr, whh, coef)
 
     outs = [spikes[k, :T, :B, :H].astype(x.dtype) for k in range(L)]

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gsu_pallas import BN_EPS, _round_up, vmem_budget
+from .gsu_pallas import BN_EPS, _round_up, compiler_params, vmem_budget
 
 LN_EPS = 1e-5  # torch.nn.LayerNorm default (nn/core.py:74)
 
@@ -176,7 +176,11 @@ def plan(cfg, T: int, B: int, io_bytes: int) -> _MegaPlan:
 
     budget = vmem_budget()
     wb = weights_bytes()
-    b_blk = min(_round_up(max(B, 8), 16), 128)
+    # Total sequential steps = (B/b_blk)*T, so the largest batch block that
+    # fits wins on step-count — but the kernel is bound per-row (VPU/layout
+    # work scales with rows), so 256 only edges out 128 by ~0.5% at
+    # flagship-M on v5e (measured; 512 fails to compile). Cap at 256.
+    b_blk = min(_round_up(max(B, 8), 16), 256)
     if os.environ.get("SFSN_MEGA_B_BLK"):
         b_blk = int(os.environ["SFSN_MEGA_B_BLK"])
     while True:
@@ -525,6 +529,7 @@ def mega_eval(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
     )(*inputs)
 
     return [outs[i][:T, :, :B, :mp.sections[i].proj] for i in range(S)]

@@ -50,3 +50,30 @@ def shard_batch(mesh: Mesh, batch, batch_axis: str = "data"):
     """Place a host batch (pytree of arrays, dim 0 = batch) onto the mesh."""
     sharding = batch_sharding(mesh, batch_axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def current_axis_size(name: str) -> Optional[int]:
+    """Size of mesh axis `name` in the enclosing mesh context, or None.
+
+    Works at trace time inside jit under a ``with mesh:`` block. Used by the
+    model to decide whether a tensor dimension divides an axis before
+    pinning a sharding on it: GSPMD's uneven-partition padding produced
+    WRONG gradients for a padded-and-scanned sub-band axis (measured on jax
+    0.9, tests/test_band_sharding.py documents the parity bar), so ragged
+    dimensions stay replicated on that axis instead.
+    """
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and name in m.shape:
+            return int(m.shape[name])
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from jax._src.mesh import thread_resources
+
+        shape = thread_resources.env.physical_mesh.shape
+        if name in shape:
+            return int(shape[name])
+    except Exception:  # noqa: BLE001
+        pass
+    return None

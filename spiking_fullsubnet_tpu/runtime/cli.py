@@ -140,7 +140,10 @@ def main(argv=None, recipe_dir=None, extra_trainer_kwargs=None):
     config["meta"]["config_path"] = config_path.as_posix()
 
     if "test" in args.mode and args.ckpt_path is None and args.torch_ckpt is None:
-        raise ValueError("checkpoint path is required for test. Use '--ckpt_path'.")
+        raise ValueError(
+            "checkpoint path is required for test. Use '--ckpt_path' "
+            "(best | latest | init | a path)."
+        )
     if args.ckpt_path:
         config["meta"]["ckpt_path"] = args.ckpt_path
     if args.torch_ckpt:

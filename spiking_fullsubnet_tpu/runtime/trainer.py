@@ -307,7 +307,12 @@ class Trainer:
 
     def _load_eval_weights(self, ckpt_path: str):
         """Load weights for test/predict; a pre-imported torch checkpoint
-        (--torch_ckpt) takes precedence when no framework checkpoint exists."""
+        (--torch_ckpt) takes precedence when no framework checkpoint exists.
+        ckpt_path='init' explicitly evaluates the freshly initialized
+        weights (smoke runs / harness e2e tests)."""
+        if ckpt_path == "init":
+            logger.warning("ckpt_path='init': evaluating UNTRAINED weights.")
+            return
         if getattr(self, "_ckpt_preloaded", False):
             try:
                 self.ckpt_manager.resolve(ckpt_path)

@@ -89,6 +89,28 @@ def main():
                 assert len(flat) == len(set(flat)), "expected disjoint shards"
         del arr
 
+    # ---- simulated 2-host DCN topology: mesh ('host', 'data') where 'host'
+    # spans process groups (DCN-like) and 'data' the within-process devices
+    # (ICI-like); a cross-process reduction over the global array must see
+    # every device's contribution exactly once.
+    if num_processes >= 4 and jax.device_count() >= 4 and jax.device_count() % 2 == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.array(jax.devices()).reshape(2, -1)  # 2 "hosts" x rest
+        mesh = Mesh(devs, ("host", "data"))
+        rows_per_dev = 4
+        local = np.stack(
+            [np.full((rows_per_dev,), d.id, np.float32) for d in jax.local_devices()]
+        )  # [local_devices, rows_per_dev]
+        gshape = (jax.device_count(), rows_per_dev)
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(("host", "data"))), local, gshape)
+        total = jax.jit(
+            lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P())
+        )(arr)
+        expect = sum(d.id for d in jax.devices()) * rows_per_dev
+        assert float(total) == expect, (float(total), expect)
+
     # ---- multi-process Orbax checkpoint round trip
     from spiking_fullsubnet_tpu.runtime.checkpoint import CheckpointManager
     from spiking_fullsubnet_tpu.runtime.trainer_state import TrainerState

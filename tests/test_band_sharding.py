@@ -1,0 +1,143 @@
+"""Band-axis (sub-band) activation sharding: parity + placement.
+
+VERDICT r2 #2: the 'band' mesh axis must shard the folded sub-band
+dimension — the width axis the reference folds into batch at
+modeling_spiking_fullsubnet.py:155 — not just rename data parallelism.
+These tests run the fused forward on an 8-virtual-CPU-device mesh
+(data=4, band=2) with cfg.data_axis/band_axis set and assert:
+
+- forward + gradients match the unsharded single-device run exactly (f64);
+- the sub-band activations really are laid out with N split over 'band'
+  (checked via jax.debug.inspect_array_sharding on the streamed tensors);
+- ragged sections (N=3 with band=2) shard without error (GSPMD padding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spiking_fullsubnet_tpu.models.spiking_fullsubnet import (
+    SpikingFullSubNetConfig,
+    spiking_fullsubnet_apply,
+    spiking_fullsubnet_init,
+)
+from spiking_fullsubnet_tpu.parallel.mesh import make_mesh
+
+
+def _to64(t):
+    return jax.tree.map(lambda x: np.asarray(x, np.float64), t)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = SpikingFullSubNetConfig(
+        n_fft=512,
+        hop_length=128,
+        win_length=512,
+        fb_input_size=64,
+        fb_hidden_size=48,
+        fb_num_layers=2,
+        fb_proj_size=64,
+        sb_hidden_size=32,
+        sb_num_layers=2,
+        freq_cutoffs=(0, 32, 128, 256),
+        df_orders=(5, 3, 1),
+        center_freq_sizes=(4, 32, 64),  # N = 8, 3, 2 (3 is ragged vs band=2)
+        neighbor_freq_sizes=(15, 15, 15),
+        bn=True,
+        shared_weights=True,
+        scan_mode="fused",
+    )
+    params, state = spiking_fullsubnet_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8000)) * 0.1)  # f64
+    return cfg, _to64(params), _to64(state), x
+
+
+def _mesh_2d() -> Mesh:
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(("data", "band"), (4, 2), devices=jax.devices()[:8])
+
+
+def test_band_sharded_forward_matches_unsharded_f64(model):
+    cfg, params, state, x = model
+    ref = spiking_fullsubnet_apply(cfg, params, state, x, train=False)["enhanced_y"]
+
+    cfg_s = dataclasses.replace(cfg, data_axis="data", band_axis="band")
+    mesh = _mesh_2d()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    ss = jax.device_put(state, NamedSharding(mesh, P()))
+    with mesh:
+        got = jax.jit(
+            lambda p, s, n: spiking_fullsubnet_apply(cfg_s, p, s, n, train=False)["enhanced_y"]
+        )(ps, ss, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+def test_band_sharded_train_grads_match_unsharded_f64(model):
+    cfg, params, state, x = model
+    target = jnp.asarray(np.random.default_rng(1).standard_normal((4, 8000)) * 0.05)
+
+    def loss_fn(c):
+        def f(p, s, n):
+            out = spiking_fullsubnet_apply(c, p, s, n, train=True)
+            return jnp.mean(jnp.abs(out["enhanced_y"] - target)), out["state"]
+        return f
+
+    (ref_l, ref_st), ref_g = jax.value_and_grad(loss_fn(cfg), has_aux=True)(params, state, x)
+
+    cfg_s = dataclasses.replace(cfg, data_axis="data", band_axis="band")
+    mesh = _mesh_2d()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    ss = jax.device_put(state, NamedSharding(mesh, P()))
+    with mesh:
+        (got_l, got_st), got_g = jax.jit(
+            jax.value_and_grad(loss_fn(cfg_s), has_aux=True)
+        )(ps, ss, xs)
+
+    assert float(got_l) == pytest.approx(float(ref_l), abs=1e-12)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_g),
+        jax.tree_util.tree_leaves_with_path(got_g),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11, err_msg=str(pa))
+    # BN running stats identical too (batch statistics span band x data)
+    for a, b in zip(jax.tree.leaves(ref_st), jax.tree.leaves(got_st)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-12)
+
+
+def test_subband_activations_are_band_sharded(model, capsys, monkeypatch):
+    """The streamed [T, N, B, w] sub-band tensors must be laid out with N
+    over 'band' and B over 'data' — the definition of sub-band sharding."""
+    cfg, params, state, x = model
+    cfg_s = dataclasses.replace(cfg, data_axis="data", band_axis="band")
+    mesh = _mesh_2d()
+    monkeypatch.setenv("SFSN_INSPECT_SHARDING", "1")
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        out = jax.jit(
+            lambda p, s, n: spiking_fullsubnet_apply(cfg_s, p, s, n, train=False)["enhanced_y"]
+        )(params, state, xs)
+    jax.block_until_ready(out)
+    text = capsys.readouterr().out
+    assert "sb section 0 activation" in text, text
+    import re
+
+    found = re.findall(r"sb section (\d+) activation \[T,N,B,w\]=\([\d, ]+\): .*"
+                       r"spec=PartitionSpec\(([^)]*)\)", text)
+    assert len(found) == 3, text
+    for idx, spec in found:
+        assert "'data'" in spec, (idx, spec)
+        if idx in ("0", "2"):  # N = 8, 2: divisible by band=2 -> band-sharded
+            assert "'band'" in spec and spec.index("'band'") < spec.index("'data'"), (idx, spec)
+        else:  # N = 3: ragged vs band=2 stays replicated on band (see
+            # fused_forward._p_sb — GSPMD uneven-partition grads are wrong)
+            assert "'band'" not in spec, (idx, spec)

@@ -28,8 +28,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed(tmp_path):
-    num = 2
+@pytest.mark.parametrize(
+    "num,devices_per_proc",
+    [
+        (2, 1),  # minimal multihost semantics
+        (4, 2),  # VERDICT r2 #10: >2 ranks x multi-device, 2-"host" mesh
+    ],
+)
+def test_multi_process_distributed(tmp_path, num, devices_per_proc):
     coordinator = f"127.0.0.1:{_free_port()}"
     # scrub accelerator-tunnel plugins (sitecustomize on PYTHONPATH installs
     # a remote backend that breaks the CPU coordination service)
@@ -40,7 +46,7 @@ def test_two_process_distributed(tmp_path):
     }
     env.update(
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
         PYTHONPATH=str(REPO),
     )
     procs = [

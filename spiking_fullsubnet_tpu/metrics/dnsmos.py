@@ -4,8 +4,9 @@ Re-design of reference audiozen/metric.py:104-300. The predictors are ONNX
 models executed on the host CPU (never on the training chip); onnxruntime is
 an optional dependency — when absent these classes raise a clear error at
 construction. The ONNX files themselves are Microsoft's DNSMOS release
-(reference bundles them at audiozen/external/DNSMOS/); point `model_dir` at
-any copy.
+(public binary model assets), bundled in-tree at model_zoo/external/DNSMOS/
+exactly like the reference bundles them at audiozen/external/DNSMOS/;
+override with DNSMOS_MODEL_DIR / PDNSMOS_MODEL_DIR or `model_dir`.
 
 The polynomial MOS mapping and the 9.01 s sliding-window protocol follow the
 reference exactly so scores are comparable with the leaderboard.
@@ -18,11 +19,16 @@ from typing import Optional
 
 import numpy as np
 
+_ZOO_EXTERNAL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "model_zoo", "external",
+)
+
 DEFAULT_MODEL_DIR = os.environ.get(
-    "DNSMOS_MODEL_DIR", "/root/reference/audiozen/external/DNSMOS"
+    "DNSMOS_MODEL_DIR", os.path.join(_ZOO_EXTERNAL, "DNSMOS")
 )
 DEFAULT_PDNSMOS_DIR = os.environ.get(
-    "PDNSMOS_MODEL_DIR", "/root/reference/audiozen/external/pDNSMOS"
+    "PDNSMOS_MODEL_DIR", os.path.join(_ZOO_EXTERNAL, "pDNSMOS")
 )
 
 _SAMPLERATE = 16000

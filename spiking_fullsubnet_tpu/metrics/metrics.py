@@ -204,7 +204,10 @@ class PESQ:
             try:
                 from pesq import pesq as pesq_backend
 
-                return {f"pesq_{mode}": float(pesq_backend(sr, ref, est, mode))}
+                return {
+                    f"pesq_{mode}": float(pesq_backend(sr, ref, est, mode)),
+                    "pesq_backend": "itu",
+                }
             except ImportError:
                 if backend == "itu":
                     raise ImportError(
@@ -222,4 +225,11 @@ class PESQ:
             self._warned = True
         from .pesq_p862 import pesq_p862
 
-        return {f"pesq_{mode}": pesq_p862(ref, est, fs=sr, mode=mode)}
+        # pesq_backend makes persisted artifacts (CSVs, board rows)
+        # self-describing: the numpy reconstruction tracks but does not
+        # bit-match the ITU binary. String-valued, so numeric_only
+        # aggregations skip it.
+        return {
+            f"pesq_{mode}": pesq_p862(ref, est, fs=sr, mode=mode),
+            "pesq_backend": "numpy_p862",
+        }

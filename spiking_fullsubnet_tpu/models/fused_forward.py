@@ -179,12 +179,18 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
             x, _P(*([None] * (x.ndim - 2)), cfg.data_axis, None))
 
         def _p_sb(x):  # [.., N, B, feat]
-            # Band-shard only when N divides the axis: GSPMD's uneven-
-            # partition padding gives WRONG gradients for this padded
+            # Band-shard only when N provably divides the axis: GSPMD's
+            # uneven-partition padding gives WRONG gradients for this padded
             # scanned axis (measured, jax 0.9 — see parallel/mesh.py
-            # current_axis_size). Ragged sections stay data-sharded only.
+            # current_axis_size). Fail SAFE: when the mesh axis size cannot
+            # be detected (band_size None), replicate instead of risking
+            # silent numerical corruption on ragged sections.
             n = x.shape[-3]
-            band = cfg.band_axis if (band_size is None or n % band_size == 0) else None
+            band = (
+                cfg.band_axis
+                if (band_size is not None and n % band_size == 0)
+                else None
+            )
             return with_sharding_constraint(
                 x, _P(*([None] * (x.ndim - 3)), band, cfg.data_axis, None))
     else:

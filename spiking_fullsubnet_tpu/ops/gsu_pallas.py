@@ -51,16 +51,22 @@ SURR_GAMMA = 1.0  # triangle surrogate width (efficient_spiking_neuron.py:85)
 
 # Per-core VMEM capacity by device generation. Mosaic's DEFAULT scoped-VMEM
 # limit is ~16 MiB (a 16 MiB scratch fails to compile out of the box —
-# measured here on v5e), but the hardware has 128 MiB/core: with
+# measured here on v5e), but v5e hardware has 128 MiB/core: with
 # CompilerParams(vmem_limit_bytes=128 MiB) a 100 MiB scratch buffer compiles
 # AND runs on this chip (measured 2026-08). Every pallas_call in this module
 # therefore passes an explicit vmem limit, and the planner budgets 3/4 of
 # capacity, leaving the rest for the grid pipeline's double buffers and the
 # compiler's temporaries.
+#
+# Only v5e ("TPU v5 lite") is MEASURED here; other generations get
+# conservative values (half of the v5e figure for post-v4 parts, the Mosaic
+# default for v2/v3 and anything unknown) so an optimistic table entry can
+# never produce kernels that fail to compile at runtime on unmeasured
+# hardware (advisor r03 finding).
 _VMEM_CAPACITY_BY_KIND = {
-    "TPU v2": 16, "TPU v3": 16, "TPU v4": 128, "TPU v4 lite": 128,
-    "TPU v5": 128, "TPU v5 lite": 128, "TPU v5p": 128, "TPU v5e": 128,
-    "TPU v6": 128, "TPU v6 lite": 128, "TPU v6e": 128, "TPU7x": 128,
+    "TPU v2": 16, "TPU v3": 16, "TPU v4": 64, "TPU v4 lite": 64,
+    "TPU v5": 64, "TPU v5 lite": 128, "TPU v5p": 64, "TPU v5e": 128,
+    "TPU v6": 64, "TPU v6 lite": 64, "TPU v6e": 64, "TPU7x": 64,
 }
 _DEFAULT_VMEM_MIB = 16  # unknown device: stay within Mosaic's default limit
 _BUDGET_FRACTION = 3 / 4

@@ -36,3 +36,20 @@ def _seed_rngs():
     except ImportError:
         pass
     yield
+
+
+@pytest.fixture(autouse=True)
+def _scope_reference_oracle_stubs():
+    """Un-poison sys.modules after every test.
+
+    reference_oracle.add_reference_to_path() installs stub modules (pesq,
+    pystoi, librosa, ...) so the upstream oracle imports; left in
+    sys.modules they silently change later tests' real-import behavior
+    (a fake `pesq` made test_pesq_wrapper_falls_back_without_wheel fail in
+    full-suite order, round-3 verdict weak #3). Stubs are tagged, so this
+    removes exactly what the oracle installed, in any test order.
+    """
+    yield
+    from reference_oracle import remove_stubs
+
+    remove_stubs()

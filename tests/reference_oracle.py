@@ -4,6 +4,13 @@ The reference at /root/reference is used read-only, imported (never copied)
 purely to produce golden tensors for numerical parity tests. Missing optional
 deps (librosa, soundfile, matplotlib) are stubbed out since the oracle paths
 we exercise never call them.
+
+Scoping: every stub module is tagged ``__sfsn_test_stub__`` and the stub
+callables RAISE instead of silently returning dummy values, and an autouse
+fixture in conftest.py removes the stubs and the reference sys.path entries
+after each test — so installing the oracle in one test can never poison a
+later test's real-import behavior (e.g. the PESQ wrapper's no-wheel
+fallback test).
 """
 
 import sys
@@ -12,12 +19,35 @@ import types
 REFERENCE_ROOT = "/root/reference"
 
 
+def _raise_stub_used(name):
+    def _fail(*_a, **_k):
+        raise RuntimeError(
+            f"test stub for optional dep {name!r} was CALLED — the oracle "
+            "code path under test should never reach it"
+        )
+
+    return _fail
+
+
 def _stub(name):
     if name not in sys.modules:
         mod = types.ModuleType(name)
         mod.__dict__["__getattr__"] = lambda *_a, **_k: None
+        mod.__sfsn_test_stub__ = True
         sys.modules[name] = mod
     return sys.modules[name]
+
+
+def remove_stubs():
+    """Drop every stub module this module installed from sys.modules.
+
+    sys.path additions deliberately persist (tests lazily import oracle
+    modules at call time); only the stub MODULES are poisonous — they
+    change later tests' real-import behavior.
+    """
+    for name, mod in list(sys.modules.items()):
+        if getattr(mod, "__sfsn_test_stub__", False):
+            del sys.modules[name]
 
 
 def add_reference_to_path():
@@ -40,8 +70,8 @@ def add_reference_to_path():
         _stub(name)
     sys.modules["librosa"].util = sys.modules["librosa.util"]
     sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
-    sys.modules["pesq"].pesq = lambda *a, **k: 0.0
-    sys.modules["pystoi"].stoi = lambda *a, **k: 0.0
+    sys.modules["pesq"].pesq = _raise_stub_used("pesq")
+    sys.modules["pystoi"].stoi = _raise_stub_used("pystoi")
     sys.modules["tqdm.contrib.concurrent"].process_map = None
 
 

@@ -8,15 +8,17 @@ import jax.numpy as jnp
 
 from spiking_fullsubnet_tpu.ops.lif import alif_sequence, lif_dense_apply, lif_dense_init, lif_sequence
 
-from reference_oracle import add_reference_to_path
+from reference_oracle import FREEZE_DIR, add_reference_to_path
 
 add_reference_to_path()
 import sys
 
-sys.path.insert(0, "/root/reference/recipes/intel_ndns/spiking_fullsubnet_freeze_phase")
+if FREEZE_DIR not in sys.path:
+    sys.path.insert(0, FREEZE_DIR)
 
 
 def test_lif_matches_reference():
+    add_reference_to_path()  # stubs are scoped per-test (conftest)
     from neuron import LIFNode
 
     x = np.random.randn(25, 3, 8).astype(np.float32)

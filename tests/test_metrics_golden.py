@@ -295,10 +295,26 @@ def test_pesq_crude_alignment_finds_known_delay():
         assert abs(est - d) <= 64, (d, est)  # within one 4 ms envelope hop
 
 
-def test_pesq_wrapper_falls_back_without_wheel():
+def test_pesq_wrapper_falls_back_without_wheel(monkeypatch):
+    """The no-wheel fallback, exercised deterministically: block `pesq`
+    imports even on hosts that have the wheel installed."""
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "pesq", raising=False)
+    real_import = builtins.__import__
+
+    def _no_pesq(name, *args, **kwargs):
+        if name == "pesq" or name.startswith("pesq."):
+            raise ImportError("pesq blocked for fallback test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", _no_pesq)
+
     clean, rng = _speech_16k(16000 * 3)
     out = PESQ(sr=16000, mode="wb")(clean + 0.05 * rng.standard_normal(len(clean)), clean)
     assert "pesq_wb" in out and 1.0 <= out["pesq_wb"] <= 4.65
+    assert out["pesq_backend"] == "numpy_p862"  # self-describing artifact
     with pytest.raises(ImportError):
         PESQ(sr=16000, mode="wb", backend="itu")(clean, clean)
 

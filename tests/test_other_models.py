@@ -28,6 +28,13 @@ from reference_oracle import add_reference_to_path
 add_reference_to_path()
 
 
+@pytest.fixture(autouse=True)
+def _oracle_stubs():
+    # Stubs are removed after every test (conftest); tests in this module
+    # lazily import oracle modules, so re-install per test.
+    add_reference_to_path()
+
+
 def _np(p):
     return p.detach().cpu().numpy()
 

@@ -27,13 +27,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
 
 import numpy as np
 
-REF_ZOO = Path("/root/reference/model_zoo/intel_ndns/spike_fsb")
+# Source of the upstream competition checkpoints to IMPORT (one-shot
+# conversion input, not a runtime dependency): any checkout of the
+# reference's model_zoo/intel_ndns/spike_fsb tree.
+REF_ZOO = Path(os.environ.get(
+    "SFSN_REF_ZOO", "/root/reference/model_zoo/intel_ndns/spike_fsb"))
 
 SIZES = {
     "baseline_s": dict(fb_hidden_size=240, sb_hidden_size=160,

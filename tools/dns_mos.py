@@ -2,8 +2,8 @@
 """DNSMOS CLI: score a directory of wavs with the P.835/P.808 ONNX models.
 
 Re-design of reference tools/dns_mos_2023_01_10.py. Requires onnxruntime and
-the Microsoft DNSMOS onnx files (default: the reference's bundled copies;
-override with --model_dir or DNSMOS_MODEL_DIR).
+the Microsoft DNSMOS onnx files (default: the in-tree bundle at
+model_zoo/external/DNSMOS/; override with --model_dir or DNSMOS_MODEL_DIR).
 """
 
 from __future__ import annotations

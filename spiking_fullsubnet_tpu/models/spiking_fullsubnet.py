@@ -111,6 +111,12 @@ class SpikingFullSubNetConfig:
     # no per-layer spike tensors in the output dict). Requires norm_type=None
     # and the GSN backbone.
     scan_mode: str = "layered"
+    # Whether forwards must materialize the per-layer spike tensors
+    # (fb/sb_all_layer_outputs — consumed by the synops/neuronops metrics).
+    # The stream serving path skips the non-final layers' HBM spike streams
+    # entirely when False (~25% of its kernel write traffic at serving
+    # batch); layered/fused always collect (XLA DCEs unused outputs there).
+    collect_layer_outputs: bool = True
 
     @property
     def num_freqs(self) -> int:
@@ -245,22 +251,32 @@ def spiking_fullsubnet_apply(
     scan_mode = cfg.scan_mode
     if scan_mode == "auto":
         # Measured on v5e (batch 64 train / 256 eval, 2026-08): training is
-        # 3.0x faster layered-on-Pallas-kernels than the fused XLA scan
-        # (the backward dominates and the Pallas vjp kernels win); offline
-        # enhance is fastest on the fused single-scan forward (the layered
-        # glue's HBM traffic outweighs the kernel gains at serving batch).
-        # The fused path requires the latest-generation config (no input
-        # norm, GSN backbone).
+        # fastest layered-on-Pallas-vjp-kernels; offline enhance is fastest
+        # on the STREAM path (hoisted time-parallel matmuls + recurrent-only
+        # stack kernels, models/stream_forward.py) when the config supports
+        # it, falling back to the fused single-scan forward (which also
+        # carries the multi-chip band/data sharding) and then layered.
         from ..ops import gsu_pallas
+        from .stream_forward import stream_supported
 
         fused_ok = (cfg.norm_type is None and cfg.sequence_model == "GSN"
                     and not cfg.sb_shared_bottleneck)
         if train and gsu_pallas.available() and cfg.sequence_model == "GSN":
             scan_mode = "layered"
+        elif not train and stream_supported(cfg):
+            scan_mode = "stream"
         elif fused_ok and not train:
             scan_mode = "fused"
         else:
             scan_mode = "layered"
+
+    if scan_mode == "stream":
+        if train:
+            raise ValueError("scan_mode='stream' is eval-only; training uses "
+                             "the layered Pallas vjp kernels (scan_mode='auto').")
+        from .stream_forward import spiking_fullsubnet_stream_forward
+
+        return spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y)
 
     if scan_mode == "mega":
         if train:

@@ -134,6 +134,7 @@ def _gsu_layer_apply(
     bn_momentum: float = 0.1,
     bn_eps: float = 1e-5,
     init_state: Optional[Tuple[Array, Array]] = None,
+    precomputed_xg: Optional[Array] = None,
 ):
     """One GSU layer over a full sequence. Returns (spikes [T,B,H], new_bn_state).
 
@@ -144,19 +145,29 @@ def _gsu_layer_apply(
     matmul *inputs* are low-precision. Spikes are exact in either dtype; the
     recurrent carry h is kept in x.dtype to feed the next matmul directly.
     """
-    T, B, F = x.shape
+    if x is None:  # serve path: only the precomputed gates exist
+        T, B, _ = precomputed_xg.shape
+        io_dtype = precomputed_xg.dtype
+    else:
+        T, B, F = x.shape
+        io_dtype = x.dtype
     H = hidden_size
     # low-precision inputs (bf16/f16) accumulate in f32; f32/f64 stay as-is
-    mixed = x.dtype in (jnp.bfloat16, jnp.float16)
-    acc_dtype = jnp.float32 if mixed else x.dtype
+    mixed = io_dtype in (jnp.bfloat16, jnp.float16)
+    acc_dtype = jnp.float32 if mixed else io_dtype
     w_ih = params["weight_ih"]
     w_hh_t = params["weight_hh"].T
     b = params["bias_ih"].astype(acc_dtype)
     b_f, b_c = b[:H], b[H:]
 
-    # Hoisted input projection: one [T*B, F] @ [F, rows] MXU matmul.
-    xg = jnp.matmul(x.reshape(T * B, F), w_ih.T, preferred_element_type=acc_dtype)
-    xg = xg.reshape(T, B, -1)
+    if precomputed_xg is not None:
+        # serve path (stream_forward): layer-0 input gates were computed
+        # outside (pre-LN folded into the weights) — skip the projection.
+        xg = precomputed_xg.astype(acc_dtype)
+    else:
+        # Hoisted input projection: one [T*B, F] @ [F, rows] MXU matmul.
+        xg = jnp.matmul(x.reshape(T * B, F), w_ih.T, preferred_element_type=acc_dtype)
+        xg = xg.reshape(T, B, -1)
 
     use_bn = "bn" in params
     if use_bn and not train:
@@ -173,11 +184,11 @@ def _gsu_layer_apply(
         bn_b = params["bn"]["bias"].astype(acc_dtype)
 
     if init_state is None:
-        h0 = jnp.zeros((B, H), x.dtype)
+        h0 = jnp.zeros((B, H), io_dtype)
         c0 = jnp.zeros((B, H), acc_dtype)
     else:
         h0, c0 = init_state
-        h0 = h0.astype(x.dtype)
+        h0 = h0.astype(io_dtype)
         c0 = c0.astype(acc_dtype)
 
     def step(carry, xg_t):
@@ -204,12 +215,12 @@ def _gsu_layer_apply(
         else:
             stats = ()
         hy = spike(cy)
-        ys = (hy.astype(x.dtype), stats)
+        ys = (hy.astype(io_dtype), stats)
         if _tracing():
             # debug mode: also emit the membrane — the Heaviside maps a NaN
             # membrane to spike 0, so output-only tracing would miss it
             ys = ys + (cy,)
-        return (hy.astype(x.dtype), cy), ys
+        return (hy.astype(io_dtype), cy), ys
 
     (_, _), scanned = jax.lax.scan(step, (h0, c0), xg)
     spikes, stats = scanned[0], scanned[1]

@@ -834,3 +834,272 @@ def _pack_w_generic(w: jax.Array, H: int, hp: int, g: int, fin: int, fin_p: int,
     if shared:
         return out.at[:fin, :H].set(w.T)
     return out.at[:fin, :H].set(w[:H].T).at[:fin, hp:hp + H].set(w[H:].T)
+
+
+# ------------------------------------------- fused stack eval, hoisted layer-0
+
+
+def _stack_eval_xg_kernel(xg0_ref, wihr_ref, whh_ref, coef_ref, out_ref,
+                          h_scr, c_scr, *, L: int, hp: int, t_blk: int,
+                          shared: bool, io_dtype, collect_all: bool,
+                          units: bool):
+    """Stack eval with the LAYER-0 INPUT PROJECTION HOISTED out of the kernel.
+
+    The serve path (models/stream_forward.py) computes layer 0's input gates
+    xg0 = f(inputs) @ W as one big time-parallel MXU matmul outside (with the
+    sub-band pre-LayerNorm folded into the weights), so the kernel streams
+    xg0 [t_blk, b_blk, G] and never touches the raw feature width. All other
+    layers' input projections, the recurrent matmuls, and the cell math stay
+    VMEM-resident as in _stack_eval_kernel.
+
+    With units=True, streams carry a leading sub-band-unit axis
+    ([1, t_blk, b_blk, G] blocks of a [U, T, B, G] array) that the grid's
+    row dimension walks — the per-unit hoisted dots then stack on the
+    OUTERMOST axis (pure disjoint writes) instead of concatenating along
+    rows (a chain of full-array retiling fusions, measured 13 ms/section).
+    """
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    def body(i, _):
+        h_in = None
+        if units:
+            u_blk, _, ru, g = xg0_ref.shape
+            rows = u_blk * ru
+        for k in range(L):
+            if k == 0:
+                if units:
+                    # [u_blk, Ru, g] -> [u_blk*Ru, g]: leading-dim collapse,
+                    # free in Mosaic (rows are sublane-contiguous)
+                    xg = xg0_ref[:, i].reshape(rows, g).astype(jnp.float32)
+                else:
+                    xg = xg0_ref[i].astype(jnp.float32)
+            else:
+                xg = jnp.dot(h_in, wihr_ref[k - 1], preferred_element_type=jnp.float32)
+            h = h_scr[k]
+            c = c_scr[k]
+            rg = jnp.dot(h, whh_ref[k], preferred_element_type=jnp.float32)
+            pre = xg + rg
+            b_f = coef_ref[k, 0:1, :]
+            b_c = coef_ref[k, 1:2, :]
+            scale = coef_ref[k, 2:3, :]
+            shift = coef_ref[k, 3:4, :]
+            if shared:
+                f = jax.nn.sigmoid(pre + b_f)
+                gcell = pre + b_c
+            else:
+                f = jax.nn.sigmoid(pre[:, :hp] + b_f)
+                gcell = pre[:, hp:] + b_c
+            cy = (f * c + (1.0 - f) * gcell) * scale + shift
+            hy = (cy >= 0.0).astype(io_dtype)
+            h_scr[k] = hy
+            c_scr[k] = cy
+            if collect_all and units:
+                out_ref[k, :, i] = hy.reshape(u_blk, ru, hp)
+            elif collect_all:
+                out_ref[k, i] = hy
+            elif k == L - 1:
+                if units:
+                    out_ref[:, i] = hy.reshape(u_blk, ru, hp)
+                else:
+                    out_ref[i] = hy
+            h_in = hy
+        return 0
+
+    jax.lax.fori_loop(0, t_blk, body, 0)
+
+
+def gsu_stack_eval_pallas_xg(
+    params,
+    state,
+    xg0: jax.Array,  # [T, R, G] pre-padded layer-0 input gates (no bias)
+    hidden_size: int,
+    shared_weights: bool = False,
+    t_blk: Optional[int] = None,
+    collect_all: bool = True,
+):
+    """Whole-stack eval with hoisted layer-0 input gates — the serve path.
+
+    xg0 must already be LANE-PADDED to the kernel gate width G
+    (shared: round_up(H,128); non-shared: 2*round_up(H,128) with the f/c
+    halves at lane offsets 0 and round_up(H,128)) — the caller achieves this
+    for free by zero-padding the hoisted weight matrix's output columns.
+    Rows R must be a multiple of 8 and T a multiple of the time block (pick
+    T via stft_complex_tmajor(n_frames_out=...)); both paddings would
+    otherwise cost a full-tensor copy here.
+
+    Returns (out, spikes_per_layer [L][T,R,H], state) like
+    gsu_stack_eval_pallas (all_layer_outputs EXCLUDES the input — the caller
+    assembles the synops list since it owns the pre-LN input).
+
+    xg0 may also be 4D [U, T, Ru, G] (a leading sub-band-unit axis, see
+    _stack_eval_xg_kernel docstring); outputs then keep the same leading
+    axis: spikes [U, T, Ru, H].
+    """
+    units = xg0.ndim == 4
+    if units:
+        U, T, Ru, G = xg0.shape
+        R = Ru  # per-unit rows; the grid's row dim walks units x row-blocks
+    else:
+        T, R, G = xg0.shape
+        U = 1
+    H = hidden_size
+    L = len(params["layers"])
+    mixed = xg0.dtype == jnp.bfloat16
+    io_dtype = jnp.bfloat16 if mixed else jnp.float32
+    io_bytes = 2 if mixed else 4
+    hp = _round_up(H, 128)
+    g = hp if shared_weights else 2 * hp
+    if G != g:
+        raise ValueError(f"xg0 lane width {G} != kernel gate width {g}; "
+                         "pad the hoisted weight columns.")
+    R_real = R
+    if R % 8 != 0:
+        # small-batch fallback (e.g. validation batch 1): row-pad with a
+        # copy. Production batches land on aligned rows and skip this.
+        R = _round_up(R, 8)
+        pads = [(0, 0)] * (xg0.ndim - 2) + [(0, R - R_real), (0, 0)]
+        xg0 = jnp.pad(xg0, pads)
+
+    # plan: stream xg0 (g wide) in + L*hp out, double buffered; fixed weights
+    w_bytes = io_bytes * (max(L - 1, 1) * hp * g + L * hp * g) + 4 * L * 4 * hp
+    if units:
+        # span as many whole units per block as a ~1024-row budget allows
+        # so the per-step matmuls keep production row counts
+        u_blk = 1
+        for cand in range(U, 0, -1):
+            if U % cand == 0 and cand * R <= max(1024, R):
+                u_blk = cand
+                break
+        b_blk = u_blk * R
+    else:
+        u_blk = 1
+        b_blk = _divisor_at_most_mult8(R, 1024)
+    while True:
+        fixed = w_bytes + (io_bytes + 4) * L * b_blk * hp
+        per_t = b_blk * (g + L * hp) * io_bytes * 2
+        tb = max((vmem_budget() - fixed) // per_t, 0)
+        tb = min(tb, 128, T)
+        tb = _divisor_at_most(T, tb) if tb >= 1 else 0
+        if tb >= 1:
+            break
+        if units:
+            if u_blk > 1:
+                u_blk = max(d for d in range(1, u_blk) if U % d == 0)
+                b_blk = u_blk * R
+                continue
+            raise ValueError("GSU stack xg kernel: shape exceeds VMEM budget.")
+        b_blk = _divisor_at_most_mult8(R, b_blk // 2)
+        if b_blk < 8:
+            raise ValueError("GSU stack xg kernel: shape exceeds VMEM budget.")
+    tb = t_blk or tb
+    if T % tb != 0:
+        raise ValueError(f"T={T} not a multiple of t_blk={tb}")
+    n_t, n_b = T // tb, R // b_blk if not units else U // u_blk
+
+    wihr = jnp.zeros((max(L - 1, 1), hp, g), io_dtype)
+    whh = jnp.zeros((L, hp, g), io_dtype)
+    coef = jnp.zeros((L, 4, hp), jnp.float32).at[:, 2, :].set(1.0)
+    for k, (lp, ls) in enumerate(zip(params["layers"], state["layers"])):
+        if k > 0:
+            wihr = wihr.at[k - 1].set(_pack_w_generic(
+                lp["weight_ih"], H, hp, g, H, hp, shared_weights).astype(io_dtype))
+        whh = whh.at[k].set(
+            _pack_w(lp["weight_hh"], H, hp, g, shared_weights).astype(io_dtype))
+        bias = lp["bias_ih"].astype(jnp.float32)
+        coef = coef.at[k, 0, :H].set(bias[:H]).at[k, 1, :H].set(bias[H:])
+        if "bn" in lp:
+            rv = ls["bn"]["running_var"].astype(jnp.float32)
+            rm = ls["bn"]["running_mean"].astype(jnp.float32)
+            w32 = lp["bn"]["weight"].astype(jnp.float32)
+            b32 = lp["bn"]["bias"].astype(jnp.float32)
+            scale = w32 * jax.lax.rsqrt(rv + BN_EPS)
+            coef = coef.at[k, 2, :H].set(scale).at[k, 3, :H].set(b32 - rm * scale)
+
+    kernel = functools.partial(_stack_eval_xg_kernel, L=L, hp=hp, t_blk=tb,
+                               shared=shared_weights, io_dtype=io_dtype,
+                               collect_all=collect_all, units=units)
+    if units:
+        xg_spec = pl.BlockSpec((u_blk, tb, R, g),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM)
+        grid = (U // u_blk, n_t)
+        if collect_all:
+            out_spec = pl.BlockSpec(
+                (L, u_blk, tb, R, hp),
+                lambda bi, ti: (0, bi, ti, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((L, U, T, R, hp), io_dtype)
+        else:
+            out_spec = pl.BlockSpec(
+                (u_blk, tb, R, hp),
+                lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((U, T, R, hp), io_dtype)
+    else:
+        grid = (n_b, n_t)
+        xg_spec = pl.BlockSpec((tb, b_blk, g), lambda bi, ti: (ti, bi, 0),
+                               memory_space=pltpu.VMEM)
+        if collect_all:
+            out_spec = pl.BlockSpec((L, tb, b_blk, hp),
+                                    lambda bi, ti: (0, ti, bi, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((L, T, R, hp), io_dtype)
+        else:
+            # serving: only the last layer's spikes feed the projection — the
+            # earlier layers' [T, R, hp] streams (synops-only) never hit HBM.
+            out_spec = pl.BlockSpec((tb, b_blk, hp), lambda bi, ti: (ti, bi, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((T, R, hp), io_dtype)
+    spikes = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            xg_spec,
+            pl.BlockSpec((max(L - 1, 1), hp, g), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hp, g), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4, hp), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((L, b_blk, hp), io_dtype),
+            pltpu.VMEM((L, b_blk, hp), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
+    )(xg0.astype(io_dtype), wihr, whh, coef)
+
+    sl_rows = (slice(None),) * (2 if units else 1) + (slice(None, R_real), slice(None, H))
+    if collect_all:
+        outs = [spikes[(k,) + sl_rows] for k in range(L)]
+        return outs[-1], outs, state
+    out = spikes[sl_rows]
+    return out, [out], state
+
+
+def _divisor_at_most(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (>= 1)."""
+    best = 1
+    for d in range(1, max(cap, 1) + 1):
+        if n % d == 0:
+            best = d
+    return best
+
+
+def _divisor_at_most_mult8(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap and a multiple of 8 (or n if n<8)."""
+    if n <= 8:
+        return n
+    best = 8 if n % 8 == 0 else n
+    for d in range(8, max(cap, 8) + 1, 8):
+        if n % d == 0:
+            best = d
+    return best

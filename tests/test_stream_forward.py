@@ -1,0 +1,157 @@
+"""Parity tests for the stream (serve) forward path.
+
+The stream path (models/stream_forward.py) re-associates the math of the
+layered forward (pre-LN folded into layer-0 weights, per-unit scatter dots,
+time-major re/im DFT) — these tests pin it against the layered path:
+
+- f64: allclose at 1e-9 (binary spikes absorb the re-association noise);
+- f32 + interpret-mode Pallas xg kernels: enhanced audio agreement > 60 dB
+  and identical spike tensors;
+- the time-major DFT pair matches the standard stft/istft;
+- collect_layer_outputs=False returns empty synops lists but identical audio.
+
+Reference behavior under test: modeling_spiking_fullsubnet.py:415-474.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spiking_fullsubnet_tpu.dsp import spectral as S
+from spiking_fullsubnet_tpu.models.presets import flagship_m
+
+
+def _f64(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float64)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return flagship_m(scan_mode="layered")
+
+
+def test_stream_matches_layered_f64(bundle):
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = _f64(bundle["params"]), _f64(bundle["state"])
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((2, 16000)) * 0.1)
+
+    ref = apply_fn(cfg, params, state, noisy, train=False)
+    out = apply_fn(replace(cfg, scan_mode="stream"), params, state, noisy, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["enhanced_y"]), np.asarray(ref["enhanced_y"]), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out["enhanced_mag"]), np.asarray(ref["enhanced_mag"]), atol=1e-9)
+    # full synops contract: same shapes, same spikes, inputs allclose
+    for x1, x2 in zip(out["fb_all_layer_outputs"], ref["fb_all_layer_outputs"]):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-9)
+    for alo1, alo2 in zip(out["sb_all_layer_outputs"], ref["sb_all_layer_outputs"]):
+        for x1, x2 in zip(alo1, alo2):
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-9)
+
+
+def test_stream_pallas_interpret_matches_layered_f32(bundle):
+    from spiking_fullsubnet_tpu.ops import gsu_pallas
+
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = bundle["params"], bundle["state"]
+    rng = np.random.default_rng(1)
+    noisy = jnp.asarray(rng.standard_normal((2, 12345)).astype(np.float32) * 0.1)
+
+    ref = apply_fn(cfg, params, state, noisy, train=False)
+    old = gsu_pallas._INTERPRET
+    gsu_pallas._INTERPRET = True
+    try:
+        out = apply_fn(replace(cfg, scan_mode="stream"), params, state, noisy,
+                       train=False)
+    finally:
+        gsu_pallas._INTERPRET = old
+
+    a = np.asarray(out["enhanced_y"])
+    b = np.asarray(ref["enhanced_y"])
+    snr = 10 * np.log10(np.sum(b**2) / max(np.sum((a - b) ** 2), 1e-30))
+    assert snr > 60, snr
+    s1 = np.asarray(out["sb_all_layer_outputs"][0][1])
+    s2 = np.asarray(ref["sb_all_layer_outputs"][0][1])
+    assert s1.shape == s2.shape
+    assert np.mean(s1 != s2) < 1e-3
+
+
+def test_stream_collect_flag_only_drops_layer_outputs(bundle):
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = bundle["params"], bundle["state"]
+    rng = np.random.default_rng(2)
+    noisy = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.1)
+
+    full = apply_fn(replace(cfg, scan_mode="stream"), params, state, noisy, train=False)
+    slim = apply_fn(
+        replace(cfg, scan_mode="stream", collect_layer_outputs=False),
+        params, state, noisy, train=False)
+    np.testing.assert_allclose(
+        np.asarray(slim["enhanced_y"]), np.asarray(full["enhanced_y"]), atol=1e-6)
+    assert slim["fb_all_layer_outputs"] == []
+    assert slim["sb_all_layer_outputs"] == []
+    assert len(full["sb_all_layer_outputs"]) == cfg.num_sections
+
+
+def test_stream_is_auto_eval_mode(bundle):
+    from spiking_fullsubnet_tpu.models.stream_forward import stream_supported
+
+    cfg = bundle["config"]
+    assert stream_supported(cfg)
+    # train mode must reject the eval-only path explicitly
+    with pytest.raises(ValueError):
+        bundle["apply"](
+            replace(cfg, scan_mode="stream"), bundle["params"], bundle["state"],
+            jnp.zeros((1, 4000), jnp.float32), train=True)
+
+
+def test_tmajor_dft_matches_standard():
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.standard_normal((3, 12345)))
+    for mode in ("matmul", "fft"):
+        old = S.DFT_MODE
+        S.DFT_MODE = mode
+        try:
+            ref = S.stft_complex(y, 512, 128, 512)
+            re, im = S.stft_real_imag_tmajor(y, 512, 128, 512)
+            np.testing.assert_allclose(
+                np.asarray(jnp.transpose(jax.lax.complex(re, im), (1, 2, 0))),
+                np.asarray(ref), atol=1e-9)
+            # block-aligned frame overhang reads zeros
+            re2, im2 = S.stft_real_imag_tmajor(
+                y, 512, 128, 512, n_frames_out=ref.shape[-1] + 13)
+            assert re2.shape[0] == ref.shape[-1] + 13
+            assert float(jnp.abs(re2[ref.shape[-1] + 4 :]).max()) == 0.0
+            w = S.istft_complex(ref, 512, 128, 512, length=12345)
+            wt = S.istft_real_imag_tmajor(re, im, 512, 128, 512, length=12345)
+            np.testing.assert_allclose(np.asarray(wt), np.asarray(w), atol=1e-9)
+        finally:
+            S.DFT_MODE = old
+
+
+def test_tmajor_dft_bf16_matmul_quality():
+    """The serving bf16 DFT knob: spectra agree with f32 at bf16 accuracy."""
+    old = S.DFT_MODE
+    S.DFT_MODE = "matmul"
+    try:
+        rng = np.random.default_rng(4)
+        y = jnp.asarray(rng.standard_normal((2, 32000)).astype(np.float32))
+        re, im = S.stft_real_imag_tmajor(y, 512, 128, 512)
+        re_b, im_b = S.stft_real_imag_tmajor(
+            y, 512, 128, 512, matmul_dtype="bfloat16")
+        ref_pow = float(jnp.mean(jnp.square(re) + jnp.square(im)))
+        err_pow = float(jnp.mean(jnp.square(re - re_b) + jnp.square(im - im_b)))
+        snr = 10 * np.log10(ref_pow / max(err_pow, 1e-30))
+        assert snr > 35, snr  # bf16 mantissa floor, well below audibility
+    finally:
+        S.DFT_MODE = old

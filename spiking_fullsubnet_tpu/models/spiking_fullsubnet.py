@@ -261,22 +261,22 @@ def spiking_fullsubnet_apply(
 
         fused_ok = (cfg.norm_type is None and cfg.sequence_model == "GSN"
                     and not cfg.sb_shared_bottleneck)
-        if train and gsu_pallas.available() and cfg.sequence_model == "GSN":
-            scan_mode = "layered"
-        elif not train and stream_supported(cfg):
+        if stream_supported(cfg) and (not train or gsu_pallas.available()):
+            # train picks stream only on TPU (the hoisted glue + per-layer
+            # Pallas vjp kernels, 45->~30 ms/step at flagship-M batch 64);
+            # CPU training keeps the layered scan reference path.
             scan_mode = "stream"
+        elif train and gsu_pallas.available() and cfg.sequence_model == "GSN":
+            scan_mode = "layered"
         elif fused_ok and not train:
             scan_mode = "fused"
         else:
             scan_mode = "layered"
 
     if scan_mode == "stream":
-        if train:
-            raise ValueError("scan_mode='stream' is eval-only; training uses "
-                             "the layered Pallas vjp kernels (scan_mode='auto').")
         from .stream_forward import spiking_fullsubnet_stream_forward
 
-        return spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y)
+        return spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y, train)
 
     if scan_mode == "mega":
         if train:

@@ -144,9 +144,80 @@ def _stack_eval_scan_xg(params, state, xg0, hidden: int, shared: bool):
     return outs[-1], outs, state
 
 
-def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
-    """Eval forward in stream layout. Same output dict as the layered path
-    (state returned unchanged — eval BN uses running stats)."""
+def _pad_w_rows(w_t: Array, hp: int) -> Array:
+    """[H, out] -> [hp, out] with zero rows for the padded spike lanes."""
+    if w_t.shape[0] == hp:
+        return w_t
+    return jnp.concatenate(
+        [w_t, jnp.zeros((hp - w_t.shape[0], w_t.shape[1]), w_t.dtype)], axis=0)
+
+
+def _stack_train_xg(params, state, xg0, hidden: int, shared: bool,
+                    use_pallas: bool, compute_dtype, acc_dtype,
+                    t_real: int):
+    """Training stack with hoisted layer-0 gates: per-layer Pallas vjp
+    kernels (recurrence + surrogate-gradient backward, exact batch-stat BN)
+    with the inter-layer input projections as big time-parallel matmuls.
+
+    Pallas mode streams PRE-PADDED bf16/f32 tensors end to end
+    (gsu_layer_pallas_train_padded): xg0 [Tp, R, G] lane-padded, spikes
+    stay [Tp, R, Hp] and the next layer's weights zero-pad the extra lanes
+    — no pack/unpack/convert passes anywhere. Scan mode (CPU parity
+    oracle) takes the unpadded [T, R, rows_real] layout.
+
+    Returns (spikes_per_layer, new_stack_state).
+    """
+    from ..ops.gsu import bn_running_update
+
+    spikes_list, new_layers = [], []
+    cur = None
+    hp = _round_up(hidden, 128)
+    g = hp if shared else 2 * hp
+    off_c = hp
+    for k, (lp, ls) in enumerate(zip(params["layers"], state["layers"])):
+        has_bn = "bn" in lp
+        if use_pallas:
+            if k == 0:
+                xg = xg0
+            else:
+                w_pad = _pad_w_rows(
+                    _place_cols(lp["weight_ih"].T, hidden, shared, g, off_c), hp)
+                xg = jnp.matmul(cur, w_pad, preferred_element_type=acc_dtype
+                                ).astype(compute_dtype)
+            spk, stats = gsu_pallas.gsu_layer_pallas_train_padded(
+                xg, lp["weight_hh"], lp["bias_ih"], hidden, shared,
+                lp["bn"]["weight"] if has_bn else None,
+                lp["bn"]["bias"] if has_bn else None,
+                t_real=t_real)
+            ns = ls
+            if has_bn:
+                means, vars_ = stats
+                ns = {"bn": bn_running_update(ls["bn"], means, vars_, xg.shape[1])}
+            spk = spk.astype(compute_dtype)  # [Tp, R, Hp] padded
+        else:
+            if k == 0:
+                xg = xg0
+            else:
+                xg = jnp.matmul(cur, lp["weight_ih"].T,
+                                preferred_element_type=acc_dtype)
+            spk, ns = _gsu_layer_apply(
+                lp, ls, None, hidden, shared, train=True, precomputed_xg=xg)
+        spikes_list.append(spk)
+        new_layers.append(ns)
+        cur = spk
+    return spikes_list, {"layers": new_layers}
+
+
+def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
+                                      train: bool = False):
+    """Forward in stream layout. Same output dict as the layered path.
+
+    Eval: fused stack kernels with hoisted gates, state returned unchanged
+    (BN uses running stats). Train: the same hoisted glue (fully
+    differentiable — the LN fold and scatter dots autodiff into transposed
+    matmuls) around the per-layer Pallas vjp train kernels, with BN
+    running-state updates returned like the layered path.
+    """
     if not stream_supported(cfg):
         raise ValueError("stream forward: unsupported config (see stream_supported)")
     assert noisy_y.ndim == 2, f"Input tensor must be 2D, but got {noisy_y.ndim}D."
@@ -163,10 +234,11 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
     H_fb, H_sb = cfg.fb_hidden_size, cfg.sb_hidden_size
     shared = cfg.shared_weights
     full_f = cfg.num_freqs  # 256 (Nyquist dropped)
+    padded = use_pallas  # pre-padded streams end to end on the kernel path
 
     # ---- STFT (time-major re/im, block-aligned frame count) ----
     T = num_frames(sequence_length, cfg.n_fft, cfg.hop_length)
-    Tp = _round_up(T, 128) if use_pallas else T
+    Tp = _round_up(T, 128) if padded else T
     re_t, im_t = stft_real_imag_tmajor(
         noisy_y, cfg.n_fft, cfg.hop_length, cfg.win_length,
         n_frames_out=Tp, matmul_dtype=dft_dtype,
@@ -188,7 +260,7 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
         fb_ln = layer_norm_apply(fb_params["pre_ln"], fb_in)
     else:
         fb_ln = fb_in
-    _, g_fb, off_c_fb = _gate_layout(H_fb, shared, use_pallas)
+    _, g_fb, off_c_fb = _gate_layout(H_fb, shared, padded)
     w0_fb = _place_cols(
         fb_params["stack"]["layers"][0]["weight_ih"].T, H_fb, shared, g_fb, off_c_fb)
     xg0_fb = jnp.matmul(
@@ -196,16 +268,23 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
     ).reshape(Tp, B, g_fb).astype(compute_dtype)
 
     collect = cfg.collect_layer_outputs
-    if use_pallas:
+    new_fb_stack = state["fb"]["stack"]
+    if train:
+        fb_spikes, new_fb_stack = _stack_train_xg(
+            fb_params["stack"], state["fb"]["stack"], xg0_fb, H_fb, shared,
+            use_pallas, compute_dtype, acc_dtype, T)
+    elif use_pallas:
         _, fb_spikes, _ = gsu_pallas.gsu_stack_eval_pallas_xg(
             fb_params["stack"], state["fb"]["stack"], xg0_fb, H_fb, shared,
-            collect_all=collect)
+            collect_all=collect, keep_padded=True)
         fb_spikes = [s.astype(compute_dtype) for s in fb_spikes]
     else:
         _, fb_spikes, _ = _stack_eval_scan_xg(
             fb_params["stack"], state["fb"]["stack"], xg0_fb, H_fb, shared)
+    hp_fb = _round_up(H_fb, 128) if padded else H_fb
     fb_proj = (
-        jnp.matmul(fb_spikes[-1], fb_params["proj"]["weight"].T,
+        jnp.matmul(fb_spikes[-1],
+                   _pad_w_rows(fb_params["proj"]["weight"].T, hp_fb),
                    preferred_element_type=acc_dtype)
         + fb_params["proj"]["bias"].astype(acc_dtype)
     )  # [Tp, B, 64]
@@ -216,6 +295,7 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
     enh_re: List[Array] = []
     enh_im: List[Array] = []
     sb_alos: List[List[Array]] = []
+    new_sb_stacks: List[Any] = []
     num_filtered = 0
     for i in range(cfg.num_sections):
         scfg = sb_cfgs[i]
@@ -238,7 +318,7 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
         oh_n = _one_hot_scatter(idx_noisy - a, b - a)  # [n, w_noisy, w_sec]
         oh_f = _one_hot_scatter(idx_fb, cfg.fb_proj_size)
 
-        _, g_sb, off_c_sb = _gate_layout(H_sb, shared, use_pallas)
+        _, g_sb, off_c_sb = _gate_layout(H_sb, shared, padded)
         wn, wfb, u, v = _fold_ln_weights(
             sb_params[i], w_noisy, H_sb, shared, g_sb, off_c_sb, compute_dtype)
 
@@ -282,11 +362,22 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
         # retiling (a row-axis concatenate measured 13 ms/section)
         xg0 = jnp.stack(units, axis=0)  # [n, Tp, B, g]
 
-        if use_pallas:
+        if train:
+            # train runs rows-folded time-major (BN stats span all (n b)
+            # rows); tensors are ~8x smaller than serving so the layout
+            # conversions are cheap here
+            spikes, ns = _stack_train_xg(
+                sb_params[i]["stack"], state["sb"][i]["stack"],
+                jnp.swapaxes(xg0, 0, 1).reshape(Tp, n * B, -1), H_sb, shared,
+                use_pallas, compute_dtype, acc_dtype, T)
+            new_sb_stacks.append(ns)
+            spikes = [
+                jnp.swapaxes(s.reshape(Tp, n, B, -1), 0, 1) for s in spikes]
+        elif use_pallas:
             _, spikes, _ = gsu_pallas.gsu_stack_eval_pallas_xg(
                 sb_params[i]["stack"], state["sb"][i]["stack"], xg0, H_sb, shared,
-                collect_all=collect)
-            spikes = [s.astype(compute_dtype) for s in spikes]  # [n, Tp, B, H]
+                collect_all=collect, keep_padded=True)
+            spikes = [s.astype(compute_dtype) for s in spikes]  # [n, Tp, B, Hp]
         else:
             # scan fallback runs time-major [Tp, n*B, g] rows
             _, spikes, _ = _stack_eval_scan_xg(
@@ -307,8 +398,10 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
                + np.arange(df)[None, :, None]).reshape(-1)
         w_proj = sb_params[i]["proj"]["weight"][src]
         b_proj = sb_params[i]["proj"]["bias"][src]
+        hp_sb = _round_up(H_sb, 128) if padded else H_sb
         proj_p = (
-            jnp.matmul(spikes[-1], w_proj.T, preferred_element_type=dot_out)
+            jnp.matmul(spikes[-1], _pad_w_rows(w_proj.T, hp_sb),
+                       preferred_element_type=dot_out)
             + b_proj.astype(dot_out)
         )  # [n, Tp, B, 2*df*ctr] in (c, d, fc) lane order
         proj_p = output_activation(scfg.output_activate_function)(proj_p)
@@ -357,14 +450,16 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
                 ln_x * sb_params[i]["pre_ln"]["weight"].astype(acc_dtype)
                 + sb_params[i]["pre_ln"]["bias"].astype(acc_dtype)
             ).astype(compute_dtype).reshape(Tp, B * n, w_tot)
-            # undo the units-major layout and the DF column permutation:
-            # the contract's fold is b-major time-major (t (b n) feat)
+            # undo the units-major layout, spike lane padding, and the DF
+            # column permutation: the contract is (t (b n) feat)
             to_bn = lambda x: jnp.transpose(x, (1, 2, 0, 3)).reshape(
                 Tp, B * n, -1)
             inv = np.argsort(src)
             proj_orig = to_bn(proj_p)[..., jnp.asarray(inv)].astype(acc_dtype)
             sb_alos.append(
-                [ln_x[:T]] + [to_bn(s)[:T] for s in spikes] + [proj_orig[:T]])
+                [ln_x[:T]]
+                + [to_bn(s[..., :H_sb])[:T] for s in spikes]
+                + [proj_orig[:T]])
 
     # ---- Nyquist passthrough + iSTFT ----
     out_re = jnp.concatenate(enh_re + [re_t[:T, :, full_f:]], axis=-1)
@@ -374,7 +469,7 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
         length=sequence_length, matmul_dtype=dft_dtype)
 
     if collect:
-        fb_alos = [fb_ln[:T], *[s[:T] for s in fb_spikes]] + (
+        fb_alos = [fb_ln[:T], *[s[:T, :, :H_fb] for s in fb_spikes]] + (
             [fb_proj[:T]] if fb_cfg.proj_size > 0 else [])
     else:
         fb_alos = []
@@ -382,10 +477,17 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array):
     enhanced_mag = jnp.transpose(
         jnp.sqrt(jnp.square(out_re) + jnp.square(out_im)), (1, 2, 0))
 
+    new_state = state
+    if train and cfg.bn:
+        new_state = {
+            "fb": {"stack": new_fb_stack},
+            "sb": [{"stack": s} for s in new_sb_stacks],
+        }
+
     return {
         "enhanced_y": enhanced_y,
         "enhanced_mag": enhanced_mag,
         "fb_all_layer_outputs": fb_alos,
         "sb_all_layer_outputs": sb_alos,
-        "state": state,
+        "state": new_state,
     }

@@ -125,6 +125,11 @@ class _KCfg:
     b_blk: int
     n_t: int
     n_b: int
+    # stream io dtype for xg / spikes / gout / dxg ("float32" or
+    # "bfloat16"); membranes, BN statistics and weight grads stay f32 —
+    # bf16 membranes would flip near-threshold spikes in the backward
+    # recompute (-0.0 >= 0 is True).
+    io: str = "float32"
 
 
 # ------------------------------------------------------------------ planning
@@ -243,10 +248,10 @@ def _fwd_kernel(xg_ref, w_ref, b2_ref, bnp_ref, out_ref, y_ref, stats_ref,
         bmask = None
 
     def body(i, _):
-        h = h_scr[:]
+        h = h_scr[:]  # spikes in io dtype (exactly representable)
         c = c_scr[:]
         rg = jnp.dot(h, w_ref[:, :], preferred_element_type=jnp.float32)
-        xg_t = xg_ref[i]
+        xg_t = xg_ref[i].astype(jnp.float32)
         pre = xg_t + rg
         if cfg.shared:
             f = jax.nn.sigmoid(pre + b_f)
@@ -270,10 +275,10 @@ def _fwd_kernel(xg_ref, w_ref, b2_ref, bnp_ref, out_ref, y_ref, stats_ref,
             y = cy * p0 + p1
         else:
             y = cy
-        hy = (y >= 0.0).astype(jnp.float32)
+        hy = (y >= 0.0).astype(h_scr.dtype)
         h_scr[:] = hy
         c_scr[:] = y
-        out_ref[i] = hy
+        out_ref[i] = hy.astype(out_ref.dtype)
         if save_res:
             y_ref[i] = y
         return 0
@@ -286,6 +291,7 @@ def _run_fwd(cfg: _KCfg, xg_p, w_p, b2, bnp, save_res: bool):
     grid = (cfg.n_b, cfg.n_t)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, save_res=save_res)
 
+    io_dtype = jnp.dtype(cfg.io)
     in_specs = [
         pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.g), lambda bi, ti: (ti, bi, 0),
                      memory_space=pltpu.VMEM),
@@ -293,7 +299,7 @@ def _run_fwd(cfg: _KCfg, xg_p, w_p, b2, bnp, save_res: bool):
         pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((2, cfg.hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
     ]
-    out_shapes = [jax.ShapeDtypeStruct((tp, cfg.bp, cfg.hp), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((tp, cfg.bp, cfg.hp), io_dtype)]
     out_specs = [pl.BlockSpec((cfg.t_blk, cfg.b_blk, cfg.hp),
                               lambda bi, ti: (ti, bi, 0), memory_space=pltpu.VMEM)]
     # y residuals (always position 1; dummy tiny when not saving)
@@ -331,12 +337,12 @@ def _run_fwd(cfg: _KCfg, xg_p, w_p, b2, bnp, save_res: bool):
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
+            pltpu.VMEM((cfg.b_blk, cfg.hp), io_dtype),
             pltpu.VMEM((cfg.b_blk, cfg.hp), jnp.float32),
         ],
         interpret=_INTERPRET,
         compiler_params=None if _INTERPRET else compiler_params(),
-    )(xg_p, w_p, b2, bnp)
+    )(xg_p, w_p.astype(io_dtype), b2, bnp)
     return spikes, y, stats, bnd
 
 
@@ -373,20 +379,22 @@ def _bwd_kernel(xg_ref, y_ref, gout_ref, bnd_ref, stats_ref, w_ref, b2_ref,
     else:
         bmask = None
 
+    io_dtype = jnp.dtype(cfg.io)
+
     def body(i, _):
         t_loc = cfg.t_blk - 1 - i
         y_t = y_ref[t_loc]
         y_prev_in = y_ref[jnp.maximum(t_loc - 1, 0)]
         c_prev = jnp.where(t_loc == 0, bnd_ref[0], y_prev_in)
-        h_prev_raw = (c_prev >= 0.0).astype(jnp.float32)
         # true h_{-1} is 0 (not spike(0)=1) at the sequence start
         zero_start = seq_start_block & (t_loc == 0)
+        h_prev_raw = (c_prev >= 0.0).astype(io_dtype)
         h_prev = jnp.where(zero_start, jnp.zeros_like(h_prev_raw), h_prev_raw)
         c_prev = jnp.where(zero_start, jnp.zeros_like(c_prev), c_prev)
 
         # recompute gates (forward math)
         rg = jnp.dot(h_prev, w_ref[:, :], preferred_element_type=jnp.float32)
-        xg_t = xg_ref[t_loc]
+        xg_t = xg_ref[t_loc].astype(jnp.float32)
         pre = xg_t + rg
         if cfg.shared:
             f = jax.nn.sigmoid(pre + b_f)
@@ -398,7 +406,7 @@ def _bwd_kernel(xg_ref, y_ref, gout_ref, bnd_ref, stats_ref, w_ref, b2_ref,
         # dL/dy_t: upstream spike grad through the triangle surrogate,
         # plus next step's membrane-carry grad
         surr = inv_surr * jnp.maximum(SURR_GAMMA - jnp.abs(y_t), 0.0)
-        dy = (gout_ref[t_loc] + dh_scr[:]) * surr + dc_scr[:]
+        dy = (gout_ref[t_loc].astype(jnp.float32) + dh_scr[:]) * surr + dc_scr[:]
 
         if cfg.bn:
             mean = stats_ref[t_loc, 0:1, :]
@@ -429,16 +437,20 @@ def _bwd_kernel(xg_ref, y_ref, gout_ref, bnd_ref, stats_ref, w_ref, b2_ref,
         else:
             drg = jnp.concatenate([dpre_f, dpre_c], axis=1)
 
-        dxg_ref[t_loc] = drg
+        dxg_ref[t_loc] = drg.astype(dxg_ref.dtype)
         db_ref[0:1, :] += jnp.sum(dpre_f, axis=0, keepdims=True)
         db_ref[1:2, :] += jnp.sum(dpre_c, axis=0, keepdims=True)
+        # io-dtype matmul operands (f32 accumulation): under bf16 streams
+        # the weight-grad / carry-grad contributions are bf16-rounded per
+        # step — standard mixed-precision training semantics
+        drg_io = drg.astype(io_dtype)
         # dW[h_in, gate] += h_prev^T @ drg
         dw_ref[:, :] += jax.lax.dot_general(
-            h_prev, drg, (((0,), (0,)), ((), ())),
+            h_prev, drg_io, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # grad into h_{t-1} through the recurrent matmul
         dh_prev = jax.lax.dot_general(
-            drg, w_ref[:, :], (((1,), (1,)), ((), ())),
+            drg_io, w_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         dh_scr[:] = dh_prev
@@ -467,7 +479,7 @@ def _run_bwd(cfg: _KCfg, xg_p, y, gout_p, bnd, stats, w_p, b2, bnp):
     ]
     tp = cfg.n_t * cfg.t_blk
     out_shapes = [
-        jax.ShapeDtypeStruct((tp, cfg.bp, cfg.g), jnp.float32),
+        jax.ShapeDtypeStruct((tp, cfg.bp, cfg.g), jnp.dtype(cfg.io)),
         jax.ShapeDtypeStruct((cfg.hp, cfg.g), jnp.float32),
         jax.ShapeDtypeStruct((2, cfg.hp), jnp.float32),
         jax.ShapeDtypeStruct((2, cfg.hp), jnp.float32),
@@ -490,7 +502,7 @@ def _run_bwd(cfg: _KCfg, xg_p, y, gout_p, bnd, stats, w_p, b2, bnp):
         ],
         interpret=_INTERPRET,
         compiler_params=None if _INTERPRET else compiler_params(),
-    )(xg_p, y, gout_p, bnd, stats, w_p, b2, bnp)
+    )(xg_p, y, gout_p, bnd, stats, w_p.astype(jnp.dtype(cfg.io)), b2, bnp)
     return dxg, dw, db, dbn
 
 
@@ -498,14 +510,15 @@ def _run_bwd(cfg: _KCfg, xg_p, y, gout_p, bnd, stats, w_p, b2, bnp):
 
 
 def _make_cfg(T: int, B: int, H: int, shared: bool, *, bn: bool, affine: bool,
-              train: bool, save_res: bool, t_blk: Optional[int] = None) -> _KCfg:
+              train: bool, save_res: bool, t_blk: Optional[int] = None,
+              io: str = "float32") -> _KCfg:
     bp, hp, g, t_blk_auto, b_blk = _plan(T, B, H, shared, train, bn, save_res)
     t_blk = t_blk or t_blk_auto
     tp = _round_up(T, t_blk)
     return _KCfg(
         hidden=H, shared=shared, bn=bn, affine=affine, b_real=B,
         bp=bp, hp=hp, g=g, t_blk=t_blk, b_blk=b_blk,
-        n_t=tp // t_blk, n_b=bp // b_blk,
+        n_t=tp // t_blk, n_b=bp // b_blk, io=io,
     )
 
 
@@ -550,7 +563,7 @@ def _gsu_train_bwd(cfg, res, cts):
     xg_p, w_p, b2, bnp, y, stats, bnd = res
     g_spikes, _ = cts  # stats cotangent intentionally ignored (running-stat
     # updates are stop_gradient'd, matching torch BatchNorm semantics)
-    g_spikes = g_spikes.astype(jnp.float32)
+    g_spikes = g_spikes.astype(jnp.dtype(cfg.io))
     dxg, dw, db, dbn = _run_bwd(cfg, xg_p, y, g_spikes, bnd, stats, w_p, b2, bnp)
     return dxg, dw, db, dbn
 
@@ -595,6 +608,61 @@ def gsu_layer_pallas_train(
         vars_ = jax.lax.stop_gradient(stats[:T, 1, :hidden])
         return spikes, (means, vars_)
     spikes, _ = run(xg, w_hh, bias, None, None)
+    return spikes, None
+
+
+def gsu_layer_pallas_train_padded(
+    xg_p: jax.Array,  # [Tp, R, G] PRE-PADDED gates (no bias), any float dtype
+    w_hh: jax.Array,
+    bias: jax.Array,
+    hidden: int,
+    shared: bool,
+    bn_weight: Optional[jax.Array] = None,
+    bn_bias: Optional[jax.Array] = None,
+    t_real: Optional[int] = None,
+):
+    """Training-mode GSU layer on PRE-PADDED streams — the stream-train path.
+
+    Unlike gsu_layer_pallas_train, nothing is packed or sliced around the
+    kernel: xg_p arrives lane-padded to the kernel gate width (free via
+    zero-padded hoisted-weight columns), rows must be a multiple of 8, Tp a
+    multiple of an available time block, and the returned spikes STAY padded
+    [Tp, R, Hp] (the next layer's weights zero-pad the extra lanes). With a
+    bfloat16 xg_p the spike/gout/dxg streams are bf16 too (f32 accumulation
+    and f32 membranes inside) — halving the kernels' HBM traffic. The
+    pack/unpack/convert chains this removes measured ~14 ms per train step
+    at flagship-M batch 64.
+
+    Returns (spikes [Tp, R, Hp], (means, vars) [t_real, H] or None).
+    """
+    Tp, R, G = xg_p.shape
+    use_bn = bn_weight is not None
+    io = "bfloat16" if xg_p.dtype == jnp.bfloat16 else "float32"
+    cfg = _make_cfg(Tp, R, hidden, shared, bn=use_bn, affine=False, train=True,
+                    save_res=True, io=io)
+    if G != cfg.g:
+        raise ValueError(f"xg_p lane width {G} != kernel gate width {cfg.g}")
+    if R % 8 != 0 or cfg.bp != R:
+        raise ValueError(f"rows {R} must be a multiple of 8")
+    if Tp % cfg.t_blk != 0:
+        # choose a dividing time block instead of padding
+        tb = _divisor_at_most(Tp, cfg.t_blk)
+        cfg = _make_cfg(Tp, R, hidden, shared, bn=use_bn, affine=False,
+                        train=True, save_res=True, t_blk=tb, io=io)
+    t_real = t_real or Tp
+
+    def run(xg_p, w_hh, bias, bn_w, bn_b):
+        w_p = _pack_w(w_hh, hidden, cfg.hp, cfg.g, shared)
+        b2 = _pack_b2(bias, hidden, cfg.hp)
+        bnp = _pack_pair(bn_w, bn_b, hidden, cfg.hp)
+        return _gsu_train_core(cfg, xg_p, w_p, b2, bnp)
+
+    if use_bn:
+        spikes, stats = run(xg_p, w_hh, bias, bn_weight, bn_bias)
+        means = jax.lax.stop_gradient(stats[:t_real, 0, :hidden])
+        vars_ = jax.lax.stop_gradient(stats[:t_real, 1, :hidden])
+        return spikes, (means, vars_)
+    spikes, _ = run(xg_p, w_hh, bias, None, None)
     return spikes, None
 
 
@@ -921,6 +989,7 @@ def gsu_stack_eval_pallas_xg(
     shared_weights: bool = False,
     t_blk: Optional[int] = None,
     collect_all: bool = True,
+    keep_padded: bool = False,
 ):
     """Whole-stack eval with hoisted layer-0 input gates — the serve path.
 
@@ -1077,7 +1146,8 @@ def gsu_stack_eval_pallas_xg(
         compiler_params=None if _INTERPRET else compiler_params(),
     )(xg0.astype(io_dtype), wihr, whh, coef)
 
-    sl_rows = (slice(None),) * (2 if units else 1) + (slice(None, R_real), slice(None, H))
+    lanes = slice(None) if keep_padded else slice(None, H)
+    sl_rows = (slice(None),) * (2 if units else 1) + (slice(None, R_real), lanes)
     if collect_all:
         outs = [spikes[(k,) + sl_rows] for k in range(L)]
         return outs[-1], outs, state

@@ -103,16 +103,75 @@ def test_stream_collect_flag_only_drops_layer_outputs(bundle):
     assert len(full["sb_all_layer_outputs"]) == cfg.num_sections
 
 
-def test_stream_is_auto_eval_mode(bundle):
+def test_stream_supported_gate(bundle):
     from spiking_fullsubnet_tpu.models.stream_forward import stream_supported
 
     cfg = bundle["config"]
     assert stream_supported(cfg)
-    # train mode must reject the eval-only path explicitly
-    with pytest.raises(ValueError):
-        bundle["apply"](
-            replace(cfg, scan_mode="stream"), bundle["params"], bundle["state"],
-            jnp.zeros((1, 4000), jnp.float32), train=True)
+    assert not stream_supported(replace(cfg, num_spks=2))
+    assert not stream_supported(replace(cfg, norm_type="offline_laplace_norm"))
+
+
+def test_stream_train_matches_layered_f64(bundle):
+    """Training parity: loss, BN running-state updates, and GRADIENTS."""
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = _f64(bundle["params"]), _f64(bundle["state"])
+    rng = np.random.default_rng(5)
+    noisy = jnp.asarray(rng.standard_normal((2, 12000)) * 0.1)
+    clean = jnp.asarray(rng.standard_normal((2, 12000)) * 0.05)
+
+    def make_loss(c):
+        def loss_fn(p, s):
+            out = apply_fn(c, p, s, noisy, train=True)
+            return jnp.mean(jnp.abs(out["enhanced_y"] - clean)), out["state"]
+        return loss_fn
+
+    (l1, s1), g1 = jax.value_and_grad(make_loss(cfg), has_aux=True)(params, state)
+    (l2, s2), g2 = jax.value_and_grad(
+        make_loss(replace(cfg, scan_mode="stream")), has_aux=True)(params, state)
+    assert abs(float(l1) - float(l2)) < 1e-9
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_stream_train_pallas_interpret_close(bundle):
+    """The padded-io train kernels (interpret mode) against the scan path."""
+    from spiking_fullsubnet_tpu.ops import gsu_pallas
+
+    cfg, apply_fn = bundle["config"], bundle["apply"]
+    params, state = bundle["params"], bundle["state"]
+    rng = np.random.default_rng(6)
+    noisy = jnp.asarray(rng.standard_normal((8, 8000)).astype(np.float32) * 0.1)
+    clean = jnp.asarray(rng.standard_normal((8, 8000)).astype(np.float32) * 0.05)
+
+    def make_loss(c):
+        def loss_fn(p, s):
+            out = apply_fn(c, p, s, noisy, train=True)
+            return jnp.mean(jnp.abs(out["enhanced_y"] - clean)), out["state"]
+        return loss_fn
+
+    (l1, _), g1 = jax.value_and_grad(make_loss(cfg), has_aux=True)(params, state)
+    old = gsu_pallas._INTERPRET
+    gsu_pallas._INTERPRET = True
+    try:
+        (l2, _), g2 = jax.value_and_grad(
+            make_loss(replace(cfg, scan_mode="stream")), has_aux=True)(params, state)
+    finally:
+        gsu_pallas._INTERPRET = old
+    assert abs(float(l1) - float(l2)) < 2e-4 * max(abs(float(l1)), 1.0)
+    # In f32, ANY two implementations of this model diverge measurably in
+    # the gradients: 1-ulp membrane differences flip near-threshold binary
+    # spikes and each flip perturbs whole gradient rows (verified: the
+    # layered path against itself under x64 weak-type promotion shows the
+    # same ~30% small-leaf norm shifts). Exact parity is pinned by the f64
+    # test above and the layer-level kernel tests (test_gsu_pallas); here
+    # we gate the GLOBAL gradient energy only.
+    v1 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(g1)])
+    v2 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(g2)])
+    rel = float(jnp.linalg.norm(v1 - v2) / (jnp.linalg.norm(v1) + 1e-12))
+    assert rel < 0.25, rel
 
 
 def test_tmajor_dft_matches_standard():

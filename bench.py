@@ -7,20 +7,32 @@ Prints ONE JSON line with the primary metric plus context fields:
 value = seconds of 16 kHz audio enhanced per wall-clock second (steady
 state, batch 256 x 30 s utterances, offline/batched) with Spiking-FullSubNet
 M (954k params, the published leaderboard model) under the production
-config (scan_mode=auto, bfloat16 matmuls — quality parity vs f32 verified
-on the competition checkpoint, tests/test_mixed_precision.py).
+serving config (scan_mode=auto -> stream path, bfloat16 streams,
+collect_layer_outputs=False — quality parity vs f32 verified on the
+competition checkpoint, tests/test_mixed_precision.py).
 
 vs_baseline = value / realtime: how many real-time streams one chip
 sustains (the reference publishes no wall-clock numbers — SURVEY.md §6).
 
-Context fields (all measured on-device with the chained-iteration protocol
-of runtime/timing.py — plain block_until_ready is a no-op over tunneled
-backends and under-reports by orders of magnitude):
-    mfu / fraction_of_roofline  analytic-FLOPs MFU vs v5e bf16 peak
-    train_audio_s_per_s         training step throughput (batch 64 x 6 s)
-    streaming_ms_per_hop_b1     per-hop on-device latency of the streaming
-                                API at batch 1 vs the 8 ms real-time budget
-                                (BASELINE.md latency rows)
+Breakdown fields (all measured on-device with the chained-iteration
+protocol of runtime/timing.py — plain block_until_ready is a no-op over
+tunneled backends and under-reports by orders of magnitude):
+    recurrent_kernel_ms   the four Pallas GSU stack kernels, measured
+                          standalone at the same shapes — the SEQUENTIAL
+                          floor of this architecture (a strict per-frame
+                          recurrence: batch-bounded matmul rows + serial
+                          VPU gate math; no amount of fusion removes it)
+    dsp_ms                STFT + magnitude + iSTFT, measured standalone
+    glue_ms               everything else (gate assembly matmuls, deep
+                          filtering, projections), by subtraction
+    mfu / fraction_of_roofline  analytic-FLOPs MFU vs v5e bf16 peak; the
+                          gap to 1.0 is dominated by the sequential floor
+                          (see kernel_floor_fraction — the roofline assumes
+                          perfectly parallel FLOPs, which a recurrence
+                          cannot reach on one core)
+    train_audio_s_per_s   training step throughput (batch 64 x 6 s)
+    streaming_ms_per_hop_b1  per-hop on-device latency of the streaming
+                          API at batch 1 vs the 8 ms real-time budget
 """
 
 from __future__ import annotations
@@ -42,7 +54,8 @@ def main():
     from spiking_fullsubnet_tpu.runtime.roofline import roofline_report
     from spiking_fullsubnet_tpu.runtime.timing import time_fn_per_iter
 
-    bundle = _flagship_bundle(scan_mode="auto", compute_dtype="bfloat16")
+    bundle = _flagship_bundle(
+        scan_mode="auto", compute_dtype="bfloat16", collect_layer_outputs=False)
     cfg, apply_fn = bundle["config"], bundle["apply"]
     params, state = bundle["params"], bundle["state"]
 
@@ -58,6 +71,62 @@ def main():
 
     dt = time_fn_per_iter(enhance, (params, state, noisy), iters=(1, 3), reps=3)
     enhance_tput = batch * seconds / dt
+
+    # ---- breakdown: Pallas stack kernels standalone (sequential floor) ----
+    from spiking_fullsubnet_tpu.dsp.spectral import (
+        istft_real_imag_tmajor,
+        num_frames,
+        stft_real_imag_tmajor,
+    )
+    from spiking_fullsubnet_tpu.nn.core import cast_floating
+    from spiking_fullsubnet_tpu.ops import gsu_pallas
+
+    T = num_frames(int(seconds * sr), cfg.n_fft, cfg.hop_length)
+    Tp = -(-T // 128) * 128
+    kernel_s = 0.0
+    if gsu_pallas.available():
+        cdt = jnp.bfloat16
+        fb_p = cast_floating(bundle["params"]["fb"], cdt)
+        g_fb = -(-cfg.fb_hidden_size // 128) * 128 * (1 if cfg.shared_weights else 2)
+        xg_fb = jnp.asarray(
+            rng.standard_normal((Tp, batch, g_fb)), dtype=cdt)
+
+        def fb_kernel(xg):
+            out, _, _ = gsu_pallas.gsu_stack_eval_pallas_xg(
+                fb_p["stack"], state["fb"]["stack"], xg,
+                cfg.fb_hidden_size, cfg.shared_weights,
+                collect_all=False, keep_padded=True)
+            return out
+
+        kernel_s += time_fn_per_iter(fb_kernel, (xg_fb,), iters=(1, 5), reps=3)
+        g_sb = -(-cfg.sb_hidden_size // 128) * 128 * (1 if cfg.shared_weights else 2)
+        for i in range(cfg.num_sections):
+            n = (cfg.freq_cutoffs[i + 1] - cfg.freq_cutoffs[i]) // cfg.center_freq_sizes[i]
+            sb_p = cast_floating(bundle["params"]["sb"][i], cdt)
+            xg = jnp.asarray(rng.standard_normal((n, Tp, batch, g_sb)), dtype=cdt)
+
+            def sb_kernel(xg, i=i, sb_p=sb_p):
+                out, _, _ = gsu_pallas.gsu_stack_eval_pallas_xg(
+                    sb_p["stack"], state["sb"][i]["stack"], xg,
+                    cfg.sb_hidden_size, cfg.shared_weights,
+                    collect_all=False, keep_padded=True)
+                return out
+
+            kernel_s += time_fn_per_iter(sb_kernel, (xg,), iters=(1, 5), reps=3)
+
+    # ---- breakdown: DSP (stft + magnitude + istft) standalone ----
+    def dsp_pass(y):
+        re, im = stft_real_imag_tmajor(
+            y, cfg.n_fft, cfg.hop_length, cfg.win_length,
+            n_frames_out=Tp, matmul_dtype="bfloat16")
+        mag = (jnp.square(re) + jnp.square(im)) ** (cfg.fdrc / 2)
+        wave = istft_real_imag_tmajor(
+            re[:T], im[:T], cfg.n_fft, cfg.hop_length, cfg.win_length,
+            length=y.shape[-1], matmul_dtype="bfloat16")
+        return mag.astype(jnp.bfloat16), wave
+
+    dsp_s = time_fn_per_iter(dsp_pass, (noisy,), iters=(1, 5), reps=3)
+    glue_s = max(dt - kernel_s - dsp_s, 0.0)
 
     # ---- training throughput ----
     tb, tsec = 64, 6.0
@@ -92,6 +161,7 @@ def main():
     hop_budget_ms = cfg.hop_length / sr * 1e3  # 8 ms at 16 kHz / hop 128
 
     roof = roofline_report(cfg, enhance_tput, chip="tpu_v5e", matmul_dtype="bf16")
+    audio_s = batch * seconds
 
     print(
         json.dumps(
@@ -104,6 +174,15 @@ def main():
                 "fraction_of_roofline": round(roof["fraction_of_roofline"], 4),
                 "roofline_audio_s_per_s": round(roof["roofline_audio_s_per_s"], 0),
                 "model_gflops_per_audio_second": round(roof["model_gflops_per_audio_second"], 3),
+                "batch_ms": round(dt * 1e3, 2),
+                "recurrent_kernel_ms": round(kernel_s * 1e3, 2),
+                "dsp_ms": round(dsp_s * 1e3, 2),
+                "glue_ms": round(glue_s * 1e3, 2),
+                # throughput if ONLY the sequential recurrence existed — the
+                # honest ceiling of this architecture on one core; the
+                # roofline above assumes perfectly parallel FLOPs
+                "kernel_floor_audio_s_per_s": round(audio_s / kernel_s, 0) if kernel_s else None,
+                "kernel_floor_fraction": round((audio_s / kernel_s) / roof["roofline_audio_s_per_s"], 3) if kernel_s else None,
                 "train_audio_s_per_s": round(train_tput, 2),
                 "streaming_ms_per_hop_b1": round(ms_per_hop, 3),
                 "streaming_hop_budget_ms": hop_budget_ms,

@@ -280,6 +280,7 @@ def istft_real_imag_tmajor(
     the single layout change is one transpose of the real frames before
     overlap-add. matmul_dtype: see stft_real_imag_tmajor.
     """
+    default_win = window is None and win_length == n_fft
     if window is None:
         window = hann_window(win_length, dtype=jnp.float32)
     if win_length < n_fft:
@@ -287,6 +288,30 @@ def istft_real_imag_tmajor(
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     n_frames = re.shape[0]
     real_dtype = jnp.finfo(jnp.result_type(re)).dtype
+    t_full = n_fft + hop_length * (n_frames - 1)
+
+    # COLA-constant fast path: for the production (hann, 75% overlap)
+    # configuration the squared-window OLA envelope is exactly constant
+    # (3/2) everywhere except the first/last (n_fft - hop) samples — fold
+    # the constant into the WINDOW applied to the frames and divide only
+    # the edge strips, instead of an envelope divide over the whole signal
+    # (measured 3.4 ms at serving shapes). Only for the default hann window
+    # (the envelope must be computed from the actual window, statically).
+    edge = n_fft - hop_length
+    env_np = None
+    cola_const = False
+    if default_win and t_full > 2 * edge:
+        import numpy as _np
+
+        # envelope in f64 numpy so the folded constant is exact to the
+        # output dtype (an f32 envelope perturbs f64 parity at ~1e-7)
+        w_np = 0.5 * (1.0 - _np.cos(2.0 * _np.pi * _np.arange(n_fft) / n_fft))
+        env_np = _np.zeros(t_full)
+        for k in range(n_frames):
+            env_np[k * hop_length : k * hop_length + n_fft] += w_np**2
+        interior = env_np[edge:t_full - edge]
+        cola_const = bool(_np.allclose(interior, interior[0], rtol=1e-9))
+
     if _use_matmul_dft(n_fft):
         a, b = _irdft_matrices(n_fft, real_dtype)
         mm_dtype = jnp.dtype(matmul_dtype) if matmul_dtype else real_dtype
@@ -298,14 +323,29 @@ def istft_real_imag_tmajor(
         )
     else:
         frames = jnp.fft.irfft(jax.lax.complex(re, im), n=n_fft, axis=-1)
-    frames = frames * window
-    frames = jnp.swapaxes(frames, 0, 1)  # [B, T, n_fft] — the one transpose
 
-    t_full = n_fft + hop_length * (n_frames - 1)
-    out = overlap_add(frames, hop_length)
-    env = _ola_envelope(window, n_frames, hop_length, frames.dtype)
-    env = jnp.where(env > 1e-11, env, 1.0)
-    out = out / env
+    if cola_const:
+        c0 = float(interior[0])
+        frames = frames * (window.astype(real_dtype) * (1.0 / c0))
+        frames = jnp.swapaxes(frames, 0, 1)  # [B, T, n_fft]
+        out = overlap_add(frames, hop_length)
+        # edge correction vector: exactly 1.0 in the interior (folded),
+        # c0/env on the first/last (n_fft - hop) samples — one fused
+        # broadcast multiply instead of a whole-signal envelope divide
+        import numpy as _np
+
+        fix_np = _np.ones(t_full)
+        safe = _np.where(env_np > 1e-11, env_np, 1.0)
+        fix_np[:edge] = c0 / safe[:edge]
+        fix_np[t_full - edge:] = c0 / safe[t_full - edge:]
+        out = out * jnp.asarray(fix_np, out.dtype)
+    else:
+        frames = frames * window
+        frames = jnp.swapaxes(frames, 0, 1)  # [B, T, n_fft]
+        out = overlap_add(frames, hop_length)
+        env = _ola_envelope(window, n_frames, hop_length, frames.dtype)
+        env = jnp.where(env > 1e-11, env, 1.0)
+        out = out / env
 
     pad = n_fft // 2 if center else 0
     if length is not None:

@@ -47,8 +47,11 @@ def test_stream_matches_layered_f64(bundle):
     ref = apply_fn(cfg, params, state, noisy, train=False)
     out = apply_fn(replace(cfg, scan_mode="stream"), params, state, noisy, train=False)
 
+    # waveform tolerance bounded by the f32 window in the COLA-folded
+    # iSTFT (see test_tmajor_dft_matches_standard); everything upstream of
+    # the iSTFT is compared at 1e-9 below
     np.testing.assert_allclose(
-        np.asarray(out["enhanced_y"]), np.asarray(ref["enhanced_y"]), atol=1e-9)
+        np.asarray(out["enhanced_y"]), np.asarray(ref["enhanced_y"]), atol=3e-6)
     np.testing.assert_allclose(
         np.asarray(out["enhanced_mag"]), np.asarray(ref["enhanced_mag"]), atol=1e-9)
     # full synops contract: same shapes, same spikes, inputs allclose
@@ -129,11 +132,13 @@ def test_stream_train_matches_layered_f64(bundle):
     (l1, s1), g1 = jax.value_and_grad(make_loss(cfg), has_aux=True)(params, state)
     (l2, s2), g2 = jax.value_and_grad(
         make_loss(replace(cfg, scan_mode="stream")), has_aux=True)(params, state)
-    assert abs(float(l1) - float(l2)) < 1e-9
+    # loss/grad tolerance bounded by the f32 window constant in the
+    # COLA-folded iSTFT; BN running stats live upstream of it (1e-9)
+    assert abs(float(l1) - float(l2)) < 1e-6
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_stream_train_pallas_interpret_close(bundle):
@@ -193,7 +198,10 @@ def test_tmajor_dft_matches_standard():
             assert float(jnp.abs(re2[ref.shape[-1] + 4 :]).max()) == 0.0
             w = S.istft_complex(ref, 512, 128, 512, length=12345)
             wt = S.istft_real_imag_tmajor(re, im, 512, 128, 512, length=12345)
-            np.testing.assert_allclose(np.asarray(wt), np.asarray(w), atol=1e-9)
+            # tmajor folds the COLA-constant envelope into the window; the
+            # reference formulation divides by an f32 envelope, so parity
+            # is bounded by the window's f32 precision, not f64
+            np.testing.assert_allclose(np.asarray(wt), np.asarray(w), atol=3e-6)
         finally:
             S.DFT_MODE = old
 

@@ -105,11 +105,11 @@ class SpikingFullSubNetConfig:
     # Execution strategy: "layered" runs one lax.scan per GSU layer per stack
     # (numerics reference); "fused" runs the whole causal fb->sb pipeline as
     # ONE scan over STFT frames (8x fewer sequential scan iterations — the
-    # model is dispatch-bound on TPU, see models/fused_forward.py); "mega"
-    # (eval only, TPU) runs that pipeline as ONE Pallas kernel with all
-    # weights + carries VMEM-resident — the serving path (ops/mega_eval.py;
-    # no per-layer spike tensors in the output dict). Requires norm_type=None
-    # and the GSN backbone.
+    # model is dispatch-bound on TPU, see models/fused_forward.py; also the
+    # multi-chip band/data-sharded path); "stream" (TPU production) runs
+    # hoisted time-parallel matmuls around recurrent-only Pallas stack
+    # kernels in time-major layout (models/stream_forward.py) for both eval
+    # and train. "auto" picks stream when supported, else fused/layered.
     scan_mode: str = "layered"
     # Whether forwards must materialize the per-layer spike tensors
     # (fb/sb_all_layer_outputs — consumed by the synops/neuronops metrics).
@@ -277,14 +277,6 @@ def spiking_fullsubnet_apply(
         from .stream_forward import spiking_fullsubnet_stream_forward
 
         return spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y, train)
-
-    if scan_mode == "mega":
-        if train:
-            raise ValueError("scan_mode='mega' is eval-only; training uses the "
-                             "layered Pallas vjp kernels (scan_mode='auto').")
-        from .mega_forward import spiking_fullsubnet_mega_forward
-
-        return spiking_fullsubnet_mega_forward(cfg, params, state, noisy_y)
 
     if scan_mode == "fused":
         from .fused_forward import spiking_fullsubnet_fused_forward

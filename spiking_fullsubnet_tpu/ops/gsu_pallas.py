@@ -643,24 +643,31 @@ def gsu_layer_pallas_train_padded(
     Tp, R, G = xg_p.shape
     use_bn = bn_weight is not None
     io = "bfloat16" if xg_p.dtype == jnp.bfloat16 else "float32"
+    # BN statistics are masked to the REAL rows in-kernel (cfg.b_real), so
+    # small batches (validation batch 1) row-pad safely — a copy, but only
+    # on tiny tensors; production batches are already row-aligned.
     cfg = _make_cfg(Tp, R, hidden, shared, bn=use_bn, affine=False, train=True,
                     save_res=True, io=io)
     if G != cfg.g:
         raise ValueError(f"xg_p lane width {G} != kernel gate width {cfg.g}")
-    if R % 8 != 0 or cfg.bp != R:
-        raise ValueError(f"rows {R} must be a multiple of 8")
     if Tp % cfg.t_blk != 0:
         # choose a dividing time block instead of padding
         tb = _divisor_at_most(Tp, cfg.t_blk)
         cfg = _make_cfg(Tp, R, hidden, shared, bn=use_bn, affine=False,
                         train=True, save_res=True, t_blk=tb, io=io)
     t_real = t_real or Tp
+    Rp = cfg.bp
 
     def run(xg_p, w_hh, bias, bn_w, bn_b):
+        if Rp != R:  # inside autodiff: the pad's vjp slices the cotangent
+            xg_p = jnp.pad(xg_p, ((0, 0), (0, Rp - R), (0, 0)))
         w_p = _pack_w(w_hh, hidden, cfg.hp, cfg.g, shared)
         b2 = _pack_b2(bias, hidden, cfg.hp)
         bnp = _pack_pair(bn_w, bn_b, hidden, cfg.hp)
-        return _gsu_train_core(cfg, xg_p, w_p, b2, bnp)
+        spikes, stats = _gsu_train_core(cfg, xg_p, w_p, b2, bnp)
+        if Rp != R:
+            spikes = spikes[:, :R]
+        return spikes, stats
 
     if use_bn:
         spikes, stats = run(xg_p, w_hh, bias, bn_weight, bn_bias)

@@ -1,7 +1,7 @@
 """Real-TPU Pallas kernel parity — compiled, on hardware, in-tree.
 
 The rest of the suite pins the Pallas kernels in interpret mode on CPU
-(tests/test_gsu_pallas.py, test_mega_eval.py); Mosaic lowering bugs can
+(tests/test_gsu_pallas.py, test_stream_forward.py); Mosaic lowering bugs can
 hide from interpret mode, so this module re-runs the parity comparisons
 COMPILED on the real chip. The suite's conftest forces the CPU backend
 in-process, so each check runs in a subprocess with a clean JAX config;
@@ -142,28 +142,51 @@ def test_gsu_train_kernel_compiled_grads():
 
 
 @tpu
-def test_mega_kernel_compiled_parity():
-    """Whole-model mega kernel vs the fused scan, compiled on hardware."""
+def test_stream_path_compiled_parity():
+    """The PRODUCTION serving path (scan_mode=stream) vs the fused scan,
+    compiled on hardware at FULL flagship-M size.
+
+    This is the whole-model kernel story round 3's mega kernel failed:
+    its compiled parity test timed out (>900 s Mosaic compile at reduced
+    width). The stream path's per-stack kernels + hoisted glue compile in
+    well under the child timeout at full size AND are the benchmarked
+    default (scan_mode=auto picks them)."""
     code = """
     import numpy as np, jax, jax.numpy as jnp
+    from dataclasses import replace
     from spiking_fullsubnet_tpu.runtime.cache import enable_compilation_cache
     enable_compilation_cache()
     from spiking_fullsubnet_tpu.models.presets import flagship_m
-    from spiking_fullsubnet_tpu.models.fused_forward import spiking_fullsubnet_fused_forward
-    from spiking_fullsubnet_tpu.models.mega_forward import spiking_fullsubnet_mega_forward
 
-    b = flagship_m(fb_hidden_size=64, sb_hidden_size=32, df_orders=[2, 1, 1])
-    cfg, params, state = b["config"], b["params"], b["state"]
+    b = flagship_m(scan_mode="fused")  # FULL flagship-M, f32
+    cfg, apply_fn = b["config"], b["apply"]
+    params, state = b["params"], b["state"]
     rng = np.random.default_rng(0)
-    noisy = jnp.asarray(rng.standard_normal((4, 16000), dtype=np.float32) * 0.1)
-    ref = jax.jit(lambda p, s, n: spiking_fullsubnet_fused_forward(
-        cfg, p, s, n, train=False)["enhanced_y"])(params, state, noisy)
-    got = jax.jit(lambda p, s, n: spiking_fullsubnet_mega_forward(
-        cfg, p, s, n)["enhanced_y"])(params, state, noisy)
+    noisy = jnp.asarray(rng.standard_normal((4, 32000), dtype=np.float32) * 0.1)
+    # compare at HIGHEST matmul precision: at the TPU DEFAULT, f32 matmuls
+    # run bf16 passes and the two formulations' different groupings flip
+    # near-threshold binary spikes (rel ~0.35 measured — formulation
+    # chaos, not error; quality parity under bf16 is pinned by the zoo-
+    # checkpoint SI-SNR tests). True-f32 parity must be tight.
+    cfg_s = replace(cfg, scan_mode="stream")
+    with jax.default_matmul_precision("highest"):
+        ref = jax.jit(lambda p, s, n: apply_fn(cfg, p, s, n, train=False)[
+            "enhanced_y"])(params, state, noisy)
+        got = jax.jit(lambda p, s, n: apply_fn(cfg_s, p, s, n, train=False)[
+            "enhanced_y"])(params, state, noisy)
     ref, got = np.asarray(ref), np.asarray(got)
     rel = np.linalg.norm(ref - got) / (np.linalg.norm(ref) + 1e-12)
-    assert rel < 1e-3, rel
-    print("MEGA_OK", rel)
+    assert rel < 1e-4, rel
+
+    # train=True must also compile and produce a finite loss + grads
+    clean = jnp.asarray(rng.standard_normal((4, 32000), dtype=np.float32) * 0.05)
+    def loss_fn(p, s):
+        out = apply_fn(cfg_s, p, s, noisy, train=True)
+        return jnp.mean(jnp.abs(out["enhanced_y"] - clean))
+    l, g = jax.jit(jax.value_and_grad(loss_fn))(params, state)
+    assert np.isfinite(float(l))
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    print("STREAM_OK", rel)
     """
     out = _run_child(code)
-    assert "MEGA_OK" in out.stdout, out.stdout + out.stderr
+    assert "STREAM_OK" in out.stdout, out.stdout + out.stderr

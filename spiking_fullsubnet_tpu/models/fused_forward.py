@@ -65,12 +65,19 @@ def _reflect_unfold_indices(lo: int, hi: int, ctr: int, nbr: int, num_freqs: int
 
 
 def _cell_step(layer_params, xg_t, rg_in, hidden: int, shared: bool, c, acc_dtype,
-               bn_mode: Optional[str], bn_aux, compute_dtype):
+               bn_mode: Optional[str], bn_aux, compute_dtype,
+               bn_mask=None, bn_count: Optional[int] = None):
     """One GSU cell timestep. xg_t: precomputed input gates [..., rows]
     (already in acc_dtype); rg_in: recurrent input spikes [..., H] (compute
     dtype). Leading axes are arbitrary batch dims (the sub-band stacks run
     [N, B, .] so the mesh can shard N over the band axis). Returns
-    (hy, cy, stats). Math identical to ops/gsu._gsu_layer_apply."""
+    (hy, cy, stats). Math identical to ops/gsu._gsu_layer_apply.
+
+    bn_mask/bn_count: when the sub-band axis is PADDED to a band-axis
+    multiple (ragged sections), train-mode BatchNorm statistics must span
+    only the real rows — bn_mask broadcasts over the batch axes (1 for
+    real rows) and bn_count is the real row count.
+    """
     w_hh_t = layer_params["weight_hh"].T
     b = layer_params["bias_ih"].astype(acc_dtype)
     b_f, b_c = b[:hidden], b[hidden:]
@@ -87,8 +94,13 @@ def _cell_step(layer_params, xg_t, rg_in, hidden: int, shared: bool, c, acc_dtyp
     batch_axes = tuple(range(cy.ndim - 1))  # all but the feature axis
     if bn_mode == "train":
         bn_w, bn_b = bn_aux
-        mean = jnp.mean(cy, axis=batch_axes)
-        var = jnp.mean(jnp.square(cy - mean), axis=batch_axes)
+        if bn_mask is None:
+            mean = jnp.mean(cy, axis=batch_axes)
+            var = jnp.mean(jnp.square(cy - mean), axis=batch_axes)
+        else:
+            inv = 1.0 / bn_count
+            mean = jnp.sum(cy * bn_mask, axis=batch_axes) * inv
+            var = jnp.sum(jnp.square(cy - mean) * bn_mask, axis=batch_axes) * inv
         cy = (cy - mean) * jax.lax.rsqrt(var + 1e-5)
         cy = cy * bn_w + bn_b
         stats = (mean, var)
@@ -194,18 +206,34 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
             return with_sharding_constraint(
                 x, _P(*([None] * (x.ndim - 3)), band, cfg.data_axis, None))
     else:
+        band_size = None
         _p_fb = _p_sb = lambda x: x
 
     xg_fb0 = _p_fb(xg_fb0)
 
     # ---- hoisted noisy-magnitude unfolds per section (pure gathers) ----
+    # Ragged sections (N not a multiple of the band axis) are EXPLICITLY
+    # zero-padded to the next multiple so every section genuinely band-
+    # shards: the partition is then even (no GSPMD uneven-partition
+    # padding, whose gradients on this scanned axis are documented wrong —
+    # parallel/mesh.py). Pad units are finite garbage rows: excluded from
+    # train-mode BN statistics by mask, sliced off after the scan.
     noisy_sub_seq = []
     sub_rows = []
+    sec_n_real: List[int] = []
+    sec_n_pad: List[int] = []
     for i in range(cfg.num_sections):
         lo, hi = cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1]
         ns = freq_unfold(noisy_mag, lo, hi, cfg.center_freq_sizes[i], cfg.neighbor_freq_sizes[i])
-        noisy_sub_seq.append(_p_sb(rearrange(ns, "b n c w t -> t n b (c w)").astype(compute_dtype)))
-        sub_rows.append(B * ns.shape[1])
+        n_real = ns.shape[1]
+        n_pad = -(-n_real // band_size) * band_size if band_size else n_real
+        arr = rearrange(ns, "b n c w t -> t n b (c w)").astype(compute_dtype)
+        if n_pad != n_real:
+            arr = jnp.pad(arr, ((0, 0), (0, n_pad - n_real), (0, 0), (0, 0)))
+        noisy_sub_seq.append(_p_sb(arr))
+        sub_rows.append(B * n_real)
+        sec_n_real.append(n_real)
+        sec_n_pad.append(n_pad)
 
     if shard and os.environ.get("SFSN_INSPECT_SHARDING"):
         from jax.debug import inspect_array_sharding
@@ -222,17 +250,29 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
                 f"[sharding] fb input-gate stream [T,B,G]={shp}: {s}"),
         )
 
-    # static index maps for the per-step fullband-output unfolds
+    # static index maps for the per-step fullband-output unfolds (pad units
+    # re-read unit 0's bins — values are masked/sliced, only finiteness
+    # matters)
     num_repeats = (cfg.n_fft // 2 + 1) // cfg.fb_input_size
     full_f = cfg.num_freqs
-    fb_idx = [
-        jnp.asarray(
-            _reflect_unfold_indices(
-                cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1], cfg.fb_ctrs[i], cfg.fb_nbrs[i], full_f
-            )
-        )
-        for i in range(cfg.num_sections)
-    ]
+    fb_idx = []
+    for i in range(cfg.num_sections):
+        idx = _reflect_unfold_indices(
+            cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1], cfg.fb_ctrs[i],
+            cfg.fb_nbrs[i], full_f)
+        if sec_n_pad[i] != idx.shape[0]:
+            idx = np.concatenate(
+                [idx, np.repeat(idx[:1], sec_n_pad[i] - idx.shape[0], axis=0)])
+        fb_idx.append(jnp.asarray(idx))
+
+    # train-mode BN row masks for padded sections
+    sb_masks = []
+    for i in range(cfg.num_sections):
+        if train and cfg.bn and sec_n_pad[i] != sec_n_real[i]:
+            m = jnp.zeros((sec_n_pad[i], 1, 1), acc_dtype).at[: sec_n_real[i]].set(1.0)
+            sb_masks.append(m)
+        else:
+            sb_masks.append(None)
 
     fb_bn = _stack_step_aux(fb_cfg, fb_params, state["fb"], train, acc_dtype)
     sb_bn = [
@@ -246,7 +286,7 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
 
     carry0 = {
         "fb": [zeros_hc((B,), H_fb, _p_fb) for _ in range(fb_cfg.num_layers)],
-        "sb": [[zeros_hc((sub_rows[i] // B, B), H_sb, _p_sb)
+        "sb": [[zeros_hc((sec_n_pad[i], B), H_sb, _p_sb)
                 for _ in range(sb_cfgs[i].num_layers)]
                for i in range(cfg.num_sections)],
     }
@@ -294,7 +334,8 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
             for li, (lp, (bn_mode, bn_aux)) in enumerate(zip(sb_params[i]["stack"]["layers"], sb_bn[i])):
                 h, c = carry["sb"][i][li]
                 xg_t = jnp.matmul(o, lp["weight_ih"].T, preferred_element_type=acc_dtype)
-                hy, cy, st = _cell_step(lp, xg_t, h, H_sb, shared, c, acc_dtype, bn_mode, bn_aux, compute_dtype)
+                hy, cy, st = _cell_step(lp, xg_t, h, H_sb, shared, c, acc_dtype, bn_mode, bn_aux, compute_dtype,
+                                        bn_mask=sb_masks[i], bn_count=sub_rows[i])
                 sec_states.append((hy, cy))
                 sec_spikes.append(hy)
                 sec_stats.append(st)
@@ -319,6 +360,14 @@ def spiking_fullsubnet_fused_forward(cfg, params, state, noisy_y: Array, train: 
 
     xs = (xg_fb0, noisy_sub_seq)
     _, ys = jax.lax.scan(step, carry0, xs)
+
+    # slice the padded sub-band units back off ([T, n_pad, B, .] -> n_real)
+    for i in range(cfg.num_sections):
+        if sec_n_pad[i] != sec_n_real[i]:
+            n = sec_n_real[i]
+            ys["sb_inputs"][i] = ys["sb_inputs"][i][:, :n]
+            ys["sb_outs"][i] = ys["sb_outs"][i][:, :n]
+            ys["sb_spikes"][i] = [s[:, :n] for s in ys["sb_spikes"][i]]
 
     # ---- BN running-stat updates (closed form, matching ops/gsu.py) ----
     new_state = state

@@ -38,7 +38,6 @@ class DenoiseTrainer(BaseTrainer):
             self.dns_mos = None
             logger.warning("onnxruntime unavailable — DNSMOS disabled for validation.")
         self.north_star_metric = "si_sdr"
-        self._metric_pool = None  # created lazily on first validation
 
         cfg, apply_fn = self.model_config, self.model_apply
         shared = bool(getattr(cfg, "shared_weights", True)) if cfg is not None else True
@@ -108,24 +107,8 @@ class DenoiseTrainer(BaseTrainer):
 
         return self.metric_pool.submit(score_on_host)
 
-    @property
-    def metric_pool(self):
-        """Host-side metric scoring pool, overlapping the device eval forward
-        (futures resolved in order by the base trainer). 2 workers:
-        onnxruntime sessions are thread-safe for run(), numpy/ORT release the
-        GIL. Lazy so runs that never validate start no threads; close()
-        (called by the base trainer after train/test/predict) shuts it down."""
-        if self._metric_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._metric_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="val-metrics")
-        return self._metric_pool
-
-    def close(self):
-        if self._metric_pool is not None:
-            self._metric_pool.shutdown(wait=True)
-            self._metric_pool = None
-        super().close()
+    # host-side metric scoring overlaps the device forward via the base
+    # trainer's shared metric_pool (runtime/trainer.py)
 
     def validation_epoch_end(self, outputs, log_to_tensorboard=True):
         """pandas mean + CSV + TB (reference recipe trainer.py:68-99)."""

@@ -44,18 +44,25 @@ class SeparationTrainer(BaseTrainer):
 
     def validation_step(self, batch, batch_idx, dataloader_idx=0):
         mix_y, ref_y = batch[0], batch[1]
-        est_y = self._eval_forward(self.params, self.model_state, mix_y)
+        est_raw = self._eval_forward(self.params, self.model_state, mix_y)
         import jax.numpy as jnp
 
-        _, est_y = pit_wrapper(pairwise_neg_sisdr, est_y, jnp.asarray(ref_y))
-        est_y = np.asarray(est_y)
-        outs = []
-        for i in range(est_y.shape[0]):
-            row = self.si_sdr(est_y[i], ref_y[i])
-            if self.dns_mos is not None:
-                row = row | self.dns_mos(est_y[i])
-            outs.append(row)
-        return outs
+        _, est_dev = pit_wrapper(pairwise_neg_sisdr, est_raw, jnp.asarray(ref_y))
+        ref_np = np.asarray(ref_y)
+
+        # host scoring overlaps the device forward of later batches (the
+        # base trainer resolves the Future — runtime/trainer.py validate())
+        def score_on_host():
+            est_y = np.asarray(est_dev)
+            outs = []
+            for i in range(est_y.shape[0]):
+                row = self.si_sdr(est_y[i], ref_np[i])
+                if self.dns_mos is not None:
+                    row = row | self.dns_mos(est_y[i])
+                outs.append(row)
+            return outs
+
+        return self.metric_pool.submit(score_on_host)
 
     def validation_epoch_end(self, outputs, log_to_tensorboard=True):
         score = 0.0

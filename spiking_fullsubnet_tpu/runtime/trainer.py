@@ -564,9 +564,31 @@ class Trainer:
                 self.predict_step(batch, batch_idx, dataloader_idx)
         self.close()
 
+    @property
+    def metric_pool(self):
+        """Host-side metric scoring pool shared by all recipe trainers.
+
+        validation_step/test_step implementations submit their host scoring
+        (SI-SDR, DNSMOS, STOI, ...) here and return the Future; the eval
+        loop above resolves them in order while the device runs ahead on
+        the next batches (the reference scores serially — SURVEY §3.2 hot
+        loop (c)). 2 workers: onnxruntime sessions are thread-safe for
+        run() and numpy/ORT release the GIL. Lazy, so runs that never
+        evaluate start no threads; close() shuts it down.
+        """
+        if getattr(self, "_metric_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._metric_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="val-metrics")
+        return self._metric_pool
+
     def close(self):
         """Release per-run host resources (thread pools, sessions).
 
         Called at the end of train/test/predict; idempotent, and subclasses
         that allocate lazily may be used again after close().
         """
+        if getattr(self, "_metric_pool", None) is not None:
+            self._metric_pool.shutdown(wait=True)
+            self._metric_pool = None

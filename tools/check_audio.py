@@ -16,13 +16,34 @@ from spiking_fullsubnet_tpu.dsp.io import find_files, load_wav
 from spiking_fullsubnet_tpu.dsp.norms import activity_detector, is_clipped
 
 
+def _pmap(fn, items, workers: int):
+    """Map fn over items with a process pool (the per-file checks are
+    IO + numpy bound — the reference parallelizes the same loops with
+    joblib, tools/check_clip_activity.py). Serial when workers <= 1."""
+    if workers <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(fn, items, chunksize=16))
+
+
+def _check_clip_activity_one(packed):
+    f, clip_threshold, min_activity, sr = packed
+    y = load_wav(f)
+    clipped = is_clipped(y, clip_threshold)
+    activity = activity_detector(y, fs=sr)
+    if clipped or activity < min_activity:
+        return f"{f}\tclipped={clipped}\tactivity={activity:.3f}"
+    return None
+
+
 def cmd_clip_activity(args):
-    for f in find_files(args.dir):
-        y = load_wav(f)
-        clipped = is_clipped(y, args.clip_threshold)
-        activity = activity_detector(y, fs=args.sr)
-        if clipped or activity < args.min_activity:
-            print(f"{f}\tclipped={clipped}\tactivity={activity:.3f}")
+    items = [(f, args.clip_threshold, args.min_activity, args.sr)
+             for f in find_files(args.dir)]
+    for line in _pmap(_check_clip_activity_one, items, args.workers):
+        if line:
+            print(line)
 
 
 def cmd_existence(args):
@@ -39,23 +60,39 @@ def cmd_missing_pair(args):
     print("only in B:", sorted(b - a)[:50])
 
 
+def _check_mono_one(f):
+    y = load_wav(f)
+    if y.ndim != 1:
+        return f"{f}\tchannels={y.shape[0]}"
+    return None
+
+
 def cmd_mono(args):
-    for f in find_files(args.dir):
-        y = load_wav(f)
-        if y.ndim != 1:
-            print(f"{f}\tchannels={y.shape[0]}")
+    for line in _pmap(_check_mono_one, find_files(args.dir), args.workers):
+        if line:
+            print(line)
+
+
+def _check_non_signal_one(packed):
+    f, min_rms = packed
+    y = load_wav(f)
+    rms = float(np.sqrt(np.mean(y**2)))
+    if rms < min_rms:
+        return f"{f}\trms={rms:.2e}"
+    return None
 
 
 def cmd_non_signal(args):
-    for f in find_files(args.dir):
-        y = load_wav(f)
-        rms = float(np.sqrt(np.mean(y**2)))
-        if rms < args.min_rms:
-            print(f"{f}\trms={rms:.2e}")
+    items = [(f, args.min_rms) for f in find_files(args.dir)]
+    for line in _pmap(_check_non_signal_one, items, args.workers):
+        if line:
+            print(line)
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workers", type=int, default=1,
+                   help="process-pool size for the per-file checks")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("clip_activity")

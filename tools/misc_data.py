@@ -29,12 +29,26 @@ def cmd_dirs2txt(args):
     print(f"{args.output}: {len(files)} paths")
 
 
+def _pmap(fn, items, workers: int):
+    """Process-pool map for the per-file loops (serial when workers <= 1);
+    the reference parallelizes these with joblib."""
+    if workers <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(fn, items, chunksize=16))
+
+
+def _duration_one(packed):
+    path, sr = packed
+    return len(load_wav(path)) / sr
+
+
 def cmd_txt2duration(args):
-    total = 0.0
-    for line in open(args.txt):
-        path = line.strip().split()[-1]
-        y = load_wav(path)
-        total += len(y) / args.sr
+    items = [(line.strip().split()[-1], args.sr)
+             for line in open(args.txt) if line.strip()]
+    total = sum(_pmap(_duration_one, items, args.workers))
     print(f"total duration: {total:.1f} s ({total / 3600:.2f} h)")
 
 
@@ -46,13 +60,18 @@ def cmd_select_subset(args):
     print(f"{args.output}: {len(subset)} paths")
 
 
+def _trim_one(packed):
+    f, seconds, sr, output_dir = packed
+    y = load_wav(f, sr=sr)
+    y = y[: int(seconds * sr)]
+    dst = Path(output_dir) / Path(f).name
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    save_wav(y, dst, sr)
+
+
 def cmd_trim_seg(args):
-    for f in find_files(args.dir):
-        y = load_wav(f, sr=args.sr)
-        y = y[: int(args.seconds * args.sr)]
-        dst = Path(args.output_dir) / Path(f).name
-        dst.parent.mkdir(parents=True, exist_ok=True)
-        save_wav(y, dst, args.sr)
+    items = [(f, args.seconds, args.sr, args.output_dir) for f in find_files(args.dir)]
+    _pmap(_trim_one, items, args.workers)
     print("done")
 
 
@@ -70,6 +89,8 @@ def cmd_seek_best_score(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workers", type=int, default=1,
+                   help="process-pool size for the per-file subcommands")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("split_scp")

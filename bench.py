@@ -9,7 +9,8 @@ state, batch 256 x 30 s utterances, offline/batched) with Spiking-FullSubNet
 M (954k params, the published leaderboard model) under the production
 serving config (scan_mode=auto -> stream path, bfloat16 streams,
 collect_layer_outputs=False — quality parity vs f32 verified on the
-competition checkpoint, tests/test_mixed_precision.py).
+competition checkpoint by
+tests/test_mixed_precision.py::test_bf16_forward_preserves_quality).
 
 vs_baseline = value / realtime: how many real-time streams one chip
 sustains (the reference publishes no wall-clock numbers — SURVEY.md §6).

@@ -68,7 +68,12 @@ LN_EPS = 1e-5
 
 
 def stream_supported(cfg) -> bool:
-    """Static config gate (latest generation, single speaker)."""
+    """Static config gate (latest generation, single speaker).
+
+    fb_proj_size > 0 is required because this path unconditionally uses the
+    fullband projection (fb_params["proj"], idx_fb % fb_proj_size); proj-less
+    configs fall back to the fused path via scan_mode='auto' (advisor r04).
+    """
     return (
         cfg.norm_type is None
         and cfg.sequence_model == "GSN"
@@ -76,6 +81,7 @@ def stream_supported(cfg) -> bool:
         and cfg.num_spks == 1
         and cfg.data_axis is None
         and cfg.band_axis is None
+        and cfg.fb_proj_size > 0
     )
 
 

@@ -1177,11 +1177,15 @@ def _divisor_at_most(n: int, cap: int) -> int:
 
 
 def _divisor_at_most_mult8(n: int, cap: int) -> int:
-    """Largest divisor of n that is <= cap and a multiple of 8 (or n if n<8)."""
+    """Largest divisor of n that is <= cap and a multiple of 8 (or n if n<8).
+
+    When n has no multiple-of-8 divisor <= cap, returns 0 so callers can
+    detect exhaustion (previously this returned n, ignoring cap — latent
+    because callers pre-pad rows to a multiple of 8; advisor r04)."""
     if n <= 8:
-        return n
-    best = 8 if n % 8 == 0 else n
+        return n if n <= cap else 0
+    best = 0
     for d in range(8, max(cap, 8) + 1, 8):
-        if n % d == 0:
+        if d <= cap and n % d == 0:
             best = d
     return best

@@ -39,9 +39,19 @@ def device_specific_seed(seed: int) -> int:
     return int(seed) + jax.process_index()
 
 
-def scale_lr(lr: float) -> float:
-    """LR x sqrt(world) rule (reference recipe run.py:31)."""
-    return lr * math.sqrt(jax.process_count())
+def scale_lr(lr: float, world: Optional[int] = None) -> float:
+    """LR x sqrt(world) rule (reference recipe run.py:31).
+
+    The reference scales by the DDP worker count, which equals the DEVICE
+    count (one process per GPU). Here one process can drive many chips with
+    the batch sharded over the data axis, so world defaults to the GLOBAL
+    device count — the data-parallel degree of the trainer's default
+    Mesh('data') over all devices — not jax.process_count() (which would
+    never scale the single-process multi-chip case). The TOML batch_size is
+    therefore the GLOBAL batch (docs/concepts/parallelism.md)."""
+    if world is None:
+        world = jax.device_count()
+    return lr * math.sqrt(world)
 
 
 def wait_for_everyone(tag: str = "barrier") -> None:

@@ -59,8 +59,12 @@ def current_axis_size(name: str) -> Optional[int]:
     model to decide whether a tensor dimension divides an axis before
     pinning a sharding on it: GSPMD's uneven-partition padding produced
     WRONG gradients for a padded-and-scanned sub-band axis (measured on jax
-    0.9, tests/test_band_sharding.py documents the parity bar), so ragged
-    dimensions stay replicated on that axis instead.
+    0.9, tests/test_band_sharding.py documents the parity bar). Ragged
+    dimensions are therefore EXPLICITLY zero-padded to the next axis
+    multiple with masked BN statistics (models/fused_forward.py:221-236)
+    so every section still shards; when the axis size cannot be detected
+    at trace time (this returns None) the model falls back to replicating
+    that tensor rather than risking the GSPMD padding path.
     """
     try:
         m = jax.sharding.get_abstract_mesh()

@@ -97,6 +97,41 @@ def import_spiking_fullsubnet(
     return {"fb": fb_params, "sb": sb_params}, {"fb": fb_state, "sb": sb_states}
 
 
+def import_discriminator(sd: Mapping[str, np.ndarray], ndf: int = 16):
+    """torch Discriminator state dict -> discriminator_apply params.
+
+    Maps the reference's spectral-norm naming (weight_orig/weight_u/weight_v,
+    discriminator.py:16-52) onto models/discriminator.py's param pytree; the
+    layer indices follow the reference's nn.Sequential layout (4x [Conv2d,
+    InstanceNorm2d, PReLU] at 0..11, fc1@14, PReLU@16, fc2@17,
+    LearnableSigmoid@18). Used to import the model-zoo GAN discriminators
+    (the only weights the reference snapshot ships for baseline_{l,xl}).
+    """
+    from ..models.discriminator import discriminator_init
+    import jax
+
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    params = discriminator_init(jax.random.PRNGKey(0), ndf=ndf)
+    conv_ids, in_ids, pr_ids = [0, 3, 6, 9], [1, 4, 7, 10], [2, 5, 8, 11]
+    for j in range(4):
+        params["convs"][j]["weight"] = jnp.asarray(sd[f"layers.{conv_ids[j]}.weight_orig"])
+        params["convs"][j]["u"] = jnp.asarray(sd[f"layers.{conv_ids[j]}.weight_u"])
+        params["convs"][j]["v"] = jnp.asarray(sd[f"layers.{conv_ids[j]}.weight_v"])
+        params["inorm"][j] = {
+            "weight": jnp.asarray(sd[f"layers.{in_ids[j]}.weight"]),
+            "bias": jnp.asarray(sd[f"layers.{in_ids[j]}.bias"]),
+        }
+        params["prelu"][j] = jnp.asarray(sd[f"layers.{pr_ids[j]}.weight"])
+    for name, idx in (("fc1", 14), ("fc2", 17)):
+        params[name]["weight"] = jnp.asarray(sd[f"layers.{idx}.weight_orig"])
+        params[name]["bias"] = jnp.asarray(sd[f"layers.{idx}.bias"])
+        params[name]["u"] = jnp.asarray(sd[f"layers.{idx}.weight_u"])
+        params[name]["v"] = jnp.asarray(sd[f"layers.{idx}.weight_v"])
+    params["prelu_fc"] = jnp.asarray(sd["layers.16.weight"])
+    params["sigmoid_slope"] = jnp.asarray(sd["layers.18.slope"])
+    return params
+
+
 def save_npz(path: str, pytree) -> None:
     """Flatten a pytree of arrays into an .npz (torch-free reload format)."""
     import jax

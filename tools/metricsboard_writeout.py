@@ -39,7 +39,7 @@ COLUMNS = [
 
 def complete_entry(e: dict, noisy=CUSTOM_NOISY, subtract_mos: bool = False) -> dict:
     out = dict(e)
-    if "SI-SNR" in out and "SI-SNRi_data" not in out:
+    if out.get("SI-SNR") is not None and "SI-SNRi_data" not in out:
         out["SI-SNRi_data"] = round(out["SI-SNR"] - noisy["SI-SNR"], 4)
         out["SI-SNRi_enc+dec"] = out["SI-SNRi_data"]
     if subtract_mos:

@@ -12,6 +12,7 @@ from .dist import (
     is_main_process,
     process_count,
     gather_for_metrics,
+    broadcast_from_main,
     reduce_scalar_sum,
     wait_for_everyone,
     device_specific_seed,

@@ -21,8 +21,18 @@ import numpy as np
 def initialize_distributed(coordinator_address: Optional[str] = None) -> None:
     """jax.distributed.initialize when running under a multi-process launcher.
 
-    No-op in single-process mode (the common single-host case)."""
-    if os.environ.get("JAX_PROCESS_COUNT") or coordinator_address:
+    No-op in single-process mode (the common single-host case). Triggers on
+    either JAX's own auto-init variables (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID — see the pod runbook in
+    docs/concepts/parallelism.md) or an explicit coordinator argument;
+    inside jax.distributed.initialize the TPU-pod topology is detected
+    automatically when present."""
+    if (
+        coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_NUM_PROCESSES")
+        or os.environ.get("JAX_PROCESS_COUNT")  # legacy spelling
+    ):
         jax.distributed.initialize(coordinator_address=coordinator_address)
 
 
@@ -59,6 +69,21 @@ def wait_for_everyone(tag: str = "barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(tag)
+
+
+def broadcast_from_main(value) -> float:
+    """Rank 0's scalar to every process (e.g. the validation north-star
+    score, which only rank 0 computes — trainer.validate returns None on
+    other ranks). Lets the early-stop/best-checkpoint bookkeeping run with
+    IDENTICAL state on all ranks, so the collective Orbax save and the
+    resume counters agree everywhere."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.broadcast_one_to_all(
+        np.asarray([0.0 if value is None else float(value)], np.float32))
+    return float(arr[0])
 
 
 def reduce_scalar_sum(value: float) -> float:

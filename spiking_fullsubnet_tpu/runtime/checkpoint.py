@@ -106,23 +106,31 @@ class CheckpointManager:
         Rotation only deletes *older* completed epoch dirs — the in-flight
         write is always the newest and is never a deletion candidate.
         """
+        from ..parallel.dist import wait_for_everyone
+
         self._ckptr.wait_until_finished()
         if is_best_epoch:
             path = self.dir / "best"
         else:
             path = self.dir / f"epoch_{str(epoch).zfill(4)}"
-        if path.exists():
-            shutil.rmtree(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
+        # directory surgery is rank-0-only (the exp dir is a shared
+        # filesystem on a pod; concurrent rmtree of the same 'best' dir
+        # races to FileNotFoundError) — but the Orbax save itself is a
+        # COLLECTIVE every process must enter, so barrier in between.
+        if jax.process_index() == 0:
+            if path.exists():
+                shutil.rmtree(path)
+            path.parent.mkdir(parents=True, exist_ok=True)
+        wait_for_everyone("ckpt-dir-clean")
         self._ckptr.save(path / "arrays", _globalize(train_pytree))
         if jax.process_index() == 0:
             trainer_state.save_json(path / "trainer_state.json")
 
-        # rotation: keep newest max_num_checkpoints epoch_* dirs
-        checkpoints = sorted(self.dir.glob("epoch_*"))
-        if len(checkpoints) > self.max_num_checkpoints:
-            for old in checkpoints[: -self.max_num_checkpoints]:
-                shutil.rmtree(old)
+            # rotation: keep newest max_num_checkpoints epoch_* dirs
+            checkpoints = sorted(self.dir.glob("epoch_*"))
+            if len(checkpoints) > self.max_num_checkpoints:
+                for old in checkpoints[: -self.max_num_checkpoints]:
+                    shutil.rmtree(old)
         return path
 
     def wait(self):

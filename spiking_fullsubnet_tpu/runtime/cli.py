@@ -22,13 +22,22 @@ def run(config, resume, modes, ckpt_path=None, extra_trainer_kwargs=None):
     initialize_distributed()
     init_logging_logger(config)
 
-    seed = device_specific_seed(config["meta"].get("seed", 0))
+    # Two seeds with distinct jobs (found by the 2-process trainer e2e):
+    # - base_seed is PROCESS-IDENTICAL: model/discriminator init (replicated
+    #   params are asserted bitwise-equal across processes at device_put;
+    #   the reference gets this from DDP's rank-0 broadcast) and the
+    #   loader's shuffle permutation (disjoint shard cover requires every
+    #   rank to draw the SAME permutation — DistributedSampler semantics).
+    # - seed is PER-RANK (reference set_seed(device_specific=True)): for
+    #   runtime augmentation RNGs so ranks draw different noise/crops.
+    base_seed = config["meta"].get("seed", 0)
+    seed = device_specific_seed(base_seed)
 
     # The freeze-phase reference names its sections [model_g]/[optimizer_g]
     # (run.py builds model_g + model_d); accept both spellings.
     model_cfg = config.get("model") or config["model_g"]
     optim_cfg = config.get("optimizer") or config["optimizer_g"]
-    model = instantiate(model_cfg["path"], args={"seed": seed} | model_cfg["args"])
+    model = instantiate(model_cfg["path"], args={"seed": base_seed} | model_cfg["args"])
     optimizer_factory, base_lr = build_optimizer_factory(optim_cfg["path"], optim_cfg["args"])
     base_lr = scale_lr(base_lr)  # LR x sqrt(world) rule (reference run.py:31)
 
@@ -43,7 +52,7 @@ def run(config, resume, modes, ckpt_path=None, extra_trainer_kwargs=None):
     if "train" in modes or "finetune" in modes:
         train_dataset = instantiate(config["train_dataset"]["path"], args=config["train_dataset"]["args"])
         train_dataloader = DataLoader(
-            dataset=train_dataset, shuffle=True, seed=seed, **config["train_dataset"]["dataloader"]
+            dataset=train_dataset, shuffle=True, seed=base_seed, **config["train_dataset"]["dataloader"]
         )
 
     if "train" in modes or "finetune" in modes or "validate" in modes:
@@ -73,7 +82,7 @@ def run(config, resume, modes, ckpt_path=None, extra_trainer_kwargs=None):
         loss_function=loss_function,
     )
     if extra_trainer_kwargs:
-        trainer_kwargs.update(extra_trainer_kwargs(config, seed))
+        trainer_kwargs.update(extra_trainer_kwargs(config, base_seed))
     trainer = instantiate(config["trainer"]["path"], initialize=False)(**trainer_kwargs)
 
     # Optional: import reference torch weights (model-zoo checkpoints) before

@@ -38,6 +38,7 @@ import optax
 
 from ..dsp.spectral import istft, stft
 from ..parallel.dist import (
+    broadcast_from_main,
     gather_for_metrics,
     is_main_process,
     reduce_scalar_sum,
@@ -193,22 +194,53 @@ class Trainer:
     def _place_replicated(self):
         if self.mesh is not None:
             rs = replicated_sharding(self.mesh)
-            self.params = jax.device_put(self.params, rs)
-            self.model_state = jax.device_put(self.model_state, rs)
+
+            def put(x):
+                # Multi-process placement care: an already-GLOBAL fully-
+                # replicated array (Orbax restore) is kept as is, and a
+                # COMMITTED process-local device array (checkpoint._localize
+                # output) is pulled to host first — device_put would
+                # otherwise route both through the cross-host transfer
+                # machinery, which CPU/gloo does not support.
+                if isinstance(x, jax.Array) and jax.process_count() > 1:
+                    if not x.is_fully_addressable:
+                        if x.sharding.is_fully_replicated:
+                            return x
+                    else:
+                        return jax.device_put(np.asarray(x), rs)
+                return jax.device_put(x, rs)
+
+            self.params = jax.tree.map(put, self.params)
+            self.model_state = jax.tree.map(put, self.model_state)
             if self.opt_state is not None:
-                self.opt_state = jax.device_put(self.opt_state, rs)
+                self.opt_state = jax.tree.map(put, self.opt_state)
 
     def _place_batch(self, batch):
         arrays = tuple(x for x in batch if isinstance(x, np.ndarray))
         if self.mesh is not None:
-            n = self.mesh.size
-            if all(a.shape[0] % n == 0 for a in arrays):
-                bs = batch_sharding(self.mesh)
-                return tuple(jax.device_put(a, bs) for a in arrays)
+            pc = jax.process_count()
+            if pc > 1:
+                # multi-host: the loader yields this process's SHARD of the
+                # global batch (shard_across_processes); assemble the global
+                # mesh-sharded array from the per-process locals. Local rows
+                # must split over this process's slice of the data axis.
+                local_dev = len(self.mesh.local_devices)
+                if all(a.shape[0] % local_dev == 0 for a in arrays):
+                    bs = batch_sharding(self.mesh)
+                    return tuple(
+                        jax.make_array_from_process_local_data(bs, a)
+                        for a in arrays
+                    )
+            else:
+                n = self.mesh.size
+                if all(a.shape[0] % n == 0 for a in arrays):
+                    bs = batch_sharding(self.mesh)
+                    return tuple(jax.device_put(a, bs) for a in arrays)
             if not self._warned_unsharded:
                 logger.warning(
-                    f"Batch dim {arrays[0].shape[0]} not divisible by mesh size {n}; "
-                    "running replicated (increase batch_size to shard)."
+                    f"Batch dim {arrays[0].shape[0]} not divisible by the local "
+                    f"device count of mesh {self.mesh.shape}; running replicated "
+                    "(increase batch_size to shard)."
                 )
                 self._warned_unsharded = True
         return tuple(jnp.asarray(a) for a in arrays)
@@ -430,9 +462,14 @@ class Trainer:
             if epoch % self.validation_interval == 0:
                 logger.info("Training finished, begin validation...")
                 score = self.validate(validation_dataloaders)
-                if is_main_process():
-                    if self._run_early_stop_check(score):
-                        early_stop_mark += 1
+                # rank 0 computes the north-star (validation_epoch_end is
+                # rank-0-only); every rank must run the early-stop check with
+                # the SAME score: the best-epoch Orbax save inside it is a
+                # collective in multi-process mode, and patience/best_score
+                # must agree everywhere for resume to be consistent.
+                score = broadcast_from_main(score)
+                if self._run_early_stop_check(score):
+                    early_stop_mark += 1
                 logger.info("Validation finished.")
 
             if hasattr(train_dataloader, "set_epoch"):

@@ -61,8 +61,15 @@ def test_dual_gan_train_e2e(in_tmp, monkeypatch):
     t = run_dualGAN.main(["-C", "tiny_synthetic_dualGAN.toml", "-M", "train"])
     assert t.state.epochs_trained == 1
     assert sorted(t.disc_params) == ["d_bak", "d_sig"]
-    # generator schedule follows [lr_scheduler_g] gamma (ExponentialLR)
-    assert float(t.lr_schedule(0)) == pytest.approx(5e-4)
+    # generator schedule follows [lr_scheduler_g] gamma (ExponentialLR),
+    # scaled by sqrt(device_count) — the data-parallel LR rule (run.py:31
+    # semantics keyed to the mesh size; tests run an 8-device CPU mesh)
+    import math
+
+    import jax as _jax
+
+    assert float(t.lr_schedule(0)) == pytest.approx(
+        5e-4 * math.sqrt(_jax.device_count()))
     exp = in_tmp / "exp" / "tiny_synthetic_dualGAN"
     assert (exp / "checkpoints" / "epoch_0001").exists()
 

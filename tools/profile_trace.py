@@ -31,6 +31,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--train-batch", type=int, default=None,
+                    help="train-step shape (defaults to --batch; the serving "
+                    "batch 256x30s OOMs the train step's saved activations, "
+                    "so profile serving and training at their own shapes)")
+    ap.add_argument("--train-seconds", type=float, default=None)
+    ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--scan-mode", default="auto")
     ap.add_argument("--compute-dtype", default="bfloat16")

@@ -1,10 +1,11 @@
-"""Stream (serve) forward: hoisted time-parallel matmuls + recurrent-only kernels.
+"""Stream (serve) forward: hoisted time-parallel matmuls + fused kernels.
 
 The round-3 profile of the serving path (batch 256 x 30 s, v5e) showed the
 recurrence kernels cost ~78 ms while the surrounding GLUE — layout
 transposes, per-section unfolds in [B, N, C, w, T] layout, pre-LayerNorms,
 projections, deep-filter rearranges — cost ~180 ms, plus 61 ms of
-STFT/iSTFT. This module removes the glue by construction:
+STFT/iSTFT. This module removes the glue by construction (and round 5's
+merged serving launch moves what remained INTO the kernel — see below):
 
 - the ENTIRE pipeline is time-major [T, B, ...]: the STFT emits [T, B, F]
   directly (dsp/spectral.stft_real_imag_tmajor — the only transpose touches
@@ -39,9 +40,20 @@ allclose in f64 vs the layered path (tests/test_stream_forward.py),
 quality-parity in f32/bf16 on the competition checkpoints. Reference call
 graph: modeling_spiking_fullsubnet.py:415-474.
 
-Eval-only (the training path uses the layered Pallas vjp kernels); the
-multi-chip eval path keeps the fused scan (band/data sharding) — this is
-the single-chip serving configuration.
+Round-5 serving configuration (eval + collect_layer_outputs=False + identity
+output activations): ALL sub-band sections run as ONE Pallas launch
+(ops/gsu_pallas.gsu_sections_eval_pallas) that computes the per-unit layer-0
+gates from the shared magnitude/fullband streams IN-KERNEL (normalizations
+reduced to per-unit scalar streams alpha/beta), batches each section's
+stack matmuls over its units' rows, applies the output projection, and runs
+the deep filter against a VMEM ring of the last df noisy-spectrum frames —
+emitting the enhanced spectrum slabs directly. The xg0 gate streams, spike
+streams, and DF coefficient tensors never reach HBM (XLA measured the old
+formulation at 88.9 GB accessed per serving batch; this one is ~34 GB).
+
+Training and the synops-collecting eval use the per-section kernels below;
+the multi-chip eval path keeps the fused scan (band/data sharding) — this
+module is the single-chip serving configuration.
 """
 
 from __future__ import annotations
@@ -60,22 +72,43 @@ from ..dsp.spectral import (
 from ..nn.core import cast_floating, layer_norm_apply, output_activation
 from ..ops import gsu_pallas
 from ..ops.gsu import _gsu_layer_apply
+from ..dsp.mask import EPSILON
 from .fused_forward import _reflect_unfold_indices
 
 Array = jax.Array
 
 LN_EPS = 1e-5
 
+# perf-bisect escape hatch for the merged serving path (None in production;
+# "coefs"/"alpha" return intermediate stages so their XLA cost can be
+# measured in isolation)
+_DEBUG_STAGE = None
+
 
 def stream_supported(cfg) -> bool:
-    """Static config gate (latest generation, single speaker).
+    """Static config gate (single speaker; both generations).
+
+    norm_type coverage: the frozen-generation input norms are per-(unit,
+    frame) SCALAR divisions, so they commute through the hoisted layer-0
+    matmul exactly like the pre-LN fold — xg = alpha * (x @ W) with alpha a
+    [T, B, N] stream (offline: constant over T; cumulative: a prefix-sum).
+    The published competition checkpoints (norm_type=offline_laplace_norm
+    per their shipped configs; the recipe's cumulative_laplace_norm
+    likewise) therefore serve on this fast path. A config combining
+    norm_type WITH pre-LN is not hoistable in one scale (and exists in
+    neither generation) — it falls back to the layered path.
 
     fb_proj_size > 0 is required because this path unconditionally uses the
     fullband projection (fb_params["proj"], idx_fb % fb_proj_size); proj-less
     configs fall back to the fused path via scan_mode='auto' (advisor r04).
     """
+    norm_ok = cfg.norm_type in (
+        None, "offline_laplace_norm", "cumulative_laplace_norm")
+    no_ln_with_norm = cfg.norm_type is None or not (
+        cfg.use_pre_layer_norm_fb or cfg.use_pre_layer_norm_sb)
     return (
-        cfg.norm_type is None
+        norm_ok
+        and no_ln_with_norm
         and cfg.sequence_model == "GSN"
         and not cfg.sb_shared_bottleneck
         and cfg.num_spks == 1
@@ -262,7 +295,23 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
 
     # ---- fullband stack ----
     fb_in = mag_t[..., : cfg.fb_input_size]  # [Tp, B, 64]
-    if fb_cfg.use_pre_layer_norm:
+    if cfg.norm_type is not None:
+        # frozen-generation input norm (model_low_freq.py:578): a scalar
+        # division per (b[, t]), applied directly — 64 lanes, cheap. The
+        # padded tail frames [T:Tp] read zero audio, so they never pollute
+        # the real frames' statistics (cumulative is a prefix over t<=T;
+        # offline sums are taken over [:T] explicitly).
+        f_sum = jnp.sum(fb_in.astype(acc_dtype), axis=-1)  # [Tp, B]
+        if cfg.norm_type == "cumulative_laplace_norm":
+            cnt = jnp.arange(1, Tp + 1, dtype=acc_dtype)[:, None] * cfg.fb_input_size
+            mu_fb = jnp.cumsum(f_sum, axis=0) / cnt
+        else:  # offline_laplace_norm: utterance mean over the real frames
+            mu_fb = jnp.broadcast_to(
+                jnp.sum(f_sum[:T], axis=0)[None] / (cfg.fb_input_size * T),
+                f_sum.shape)
+        fb_ln = (fb_in.astype(acc_dtype) / (mu_fb[..., None] + EPSILON)
+                 ).astype(compute_dtype)
+    elif fb_cfg.use_pre_layer_norm:
         fb_ln = layer_norm_apply(fb_params["pre_ln"], fb_in)
     else:
         fb_ln = fb_in
@@ -303,6 +352,59 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
     sb_alos: List[List[Array]] = []
     new_sb_stacks: List[Any] = []
     num_filtered = 0
+
+    def _df_section(coef_p, n, ctr, df, f0):
+        """Deep filtering: real-arithmetic complex FIR, FLAT [T, B, n*ctr].
+
+        coef_p: [n, Tp, B, P>=2*df*ctr] in (c, d, fc) lane order per unit.
+        Narrow minor dims are poison here: any [.., n, ctr] shape tempts
+        XLA into ctr(=4)-lane physical tiles (3% lane utilization — the
+        tap/transpose fusions measured 81 ms/section at 11 GB/s, xprof).
+        So the units axis is folded into LANES once (transpose at the full
+        padded lane width + ONE static lane permutation that makes every
+        tap a contiguous [T, B, n*ctr] slice), and all FIR math runs on
+        flat section-width tensors matching the spectrum slices."""
+        P = coef_p.shape[-1]
+        coef_tb = jnp.transpose(coef_p[:, :T], (1, 2, 0, 3)).reshape(T, B, n * P)
+        # lane (c, d, u, fc)  <-  u * P + (c * df + d) * ctr + fc
+        c_, d_, u_, fc_ = np.meshgrid(
+            np.arange(2), np.arange(df), np.arange(n), np.arange(ctr),
+            indexing="ij")
+        perm = (u_ * P + (c_ * df + d_) * ctr + fc_).reshape(-1)
+        cperm = jnp.take(coef_tb, jnp.asarray(perm), axis=-1)  # [T,B,2*df*n*ctr]
+        w = n * ctr
+        sr_ = re_t[:T, :, f0: f0 + w]
+        si_ = im_t[:T, :, f0: f0 + w]
+        if df > 1:
+            zpad = jnp.zeros((df - 1,) + sr_.shape[1:], sr_.dtype)
+            pr = jnp.concatenate([zpad, sr_], axis=0)
+            pi = jnp.concatenate([zpad, si_], axis=0)
+        er = ei = None
+        for d in range(df):
+            tr = pr[d: d + T] if df > 1 else sr_
+            ti = pi[d: d + T] if df > 1 else si_
+            cr = cperm[..., d * w: (d + 1) * w].astype(acc_dtype)
+            ci = cperm[..., (df + d) * w: (df + d + 1) * w].astype(acc_dtype)
+            t_re = tr * cr - ti * ci
+            t_im = tr * ci + ti * cr
+            er = t_re if er is None else er + t_re
+            ei = t_im if ei is None else ei + t_im
+        enh_re.append(er)
+        enh_im.append(ei)
+
+    # merged serving launch: gates + stacks + projection of ALL sections in
+    # ONE Pallas kernel (gsu_pallas.gsu_sections_eval_pallas) — the xg0 and
+    # spike HBM streams never exist. Activations must be identity (the
+    # published configs' convention) and the synops spike tensors are not
+    # produced (collect falls back to the per-section kernels).
+    merged = (
+        not train and use_pallas and not collect
+        and all(not sb_cfgs[i].output_activate_function
+                for i in range(cfg.num_sections))
+    )
+    m_spec: Dict[str, List[Any]] = {k: [] for k in (
+        "p", "s", "wa", "wb", "uv", "wp", "bp", "sel", "geom")}
+
     for i in range(cfg.num_sections):
         scfg = sb_cfgs[i]
         lo, hi = cfg.freq_cutoffs[i], cfg.freq_cutoffs[i + 1]
@@ -325,8 +427,22 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
         oh_f = _one_hot_scatter(idx_fb, cfg.fb_proj_size)
 
         _, g_sb, off_c_sb = _gate_layout(H_sb, shared, padded)
-        wn, wfb, u, v = _fold_ln_weights(
-            sb_params[i], w_noisy, H_sb, shared, g_sb, off_c_sb, compute_dtype)
+        # input-scaling mode: every supported normalization is a per-unit
+        # scalar stream alpha[T, B, n] applied AFTER the hoisted matmul
+        # (scalars commute through it); pre-LN additionally needs the
+        # mean-correction vectors u, v (see _fold_ln_weights).
+        norm_mode = (
+            "ln" if scfg.use_pre_layer_norm else
+            "cum" if cfg.norm_type == "cumulative_laplace_norm" else
+            "off" if cfg.norm_type == "offline_laplace_norm" else "raw")
+        if norm_mode == "ln":
+            wn, wfb, u, v = _fold_ln_weights(
+                sb_params[i], w_noisy, H_sb, shared, g_sb, off_c_sb, compute_dtype)
+        else:
+            w_ih0 = sb_params[i]["stack"]["layers"][0]["weight_ih"].astype(compute_dtype)
+            w_t0 = _place_cols(w_ih0.T, H_sb, shared, g_sb, off_c_sb)
+            wn, wfb = w_t0[:w_noisy], w_t0[w_noisy:]
+            u = v = None
 
         # fold the unfold into the weights: PER-UNIT [T*B, w] @ [w, G] dots,
         # concatenated along the row axis. Every dot output is a plain
@@ -341,6 +457,42 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
         sel_n = jnp.asarray(oh_n.sum(axis=1).T, acc_dtype)  # [w_sec, n]
         sel_f = jnp.asarray(oh_f.sum(axis=1).T, acc_dtype)  # [64, n]
 
+        # projection with DF-friendly column order: permute the output
+        # columns from the reference's (c, fc, df) lane order to (c, df, fc)
+        # so each tap's coefficients are a CONTIGUOUS lane slice (consumed
+        # by the in-kernel deep filter / the fallback DF below).
+        # new row (c, d, fc) pulls old row (c, fc, d):
+        # new_W[(c*df+d)*ctr+fc] = W[(c*ctr+fc)*df+d]
+        df = cfg.df_orders[i]
+        src = (np.arange(2)[:, None, None] * ctr * df
+               + np.arange(ctr)[None, None, :] * df
+               + np.arange(df)[None, :, None]).reshape(-1)
+        w_proj = sb_params[i]["proj"]["weight"][src]
+        b_proj = sb_params[i]["proj"]["bias"][src]
+
+        if merged:
+            # defer the normalization statistics: per-section dots emit
+            # [T, B, n<=8]-lane tensors whose elementwise chains ran at
+            # 10-40 GB/s (xprof: ~20 ms/batch); the post-loop combined pass
+            # computes every section's stats in ONE [*, U] sweep.
+            oh_nf = _one_hot_scatter(idx_noisy, full_f)  # full-width scatter
+            fbp = _round_up(cfg.fb_proj_size, 128)
+            wa_m = jnp.einsum("nwp,wj->npj", jnp.asarray(oh_nf, wn.dtype), wn)
+            wb_m = jnp.einsum("nwp,wj->npj", jnp.asarray(oh_f, wfb.dtype), wfb)
+            wb_m = jnp.pad(wb_m, ((0, 0), (0, fbp - wb_m.shape[1]), (0, 0)))
+            m_spec["p"].append(sb_params[i]["stack"])
+            m_spec["s"].append(state["sb"][i]["stack"])
+            m_spec["wa"].append(wa_m)
+            m_spec["wb"].append(wb_m)
+            m_spec["uv"].append((u, v) if norm_mode == "ln" else None)
+            m_spec["wp"].append(w_proj)
+            m_spec["bp"].append(b_proj)
+            m_spec["sel"].append((oh_nf.sum(axis=1).T, oh_f.sum(axis=1).T,
+                                  w_tot, norm_mode))
+            m_spec["geom"].append((n, ctr, df, num_filtered))
+            num_filtered += n * ctr
+            continue
+
         # under the bf16 policy the gate dots emit compute_dtype directly
         # (f32 MXU accumulation, converted on write) — f32 [T, ..., G]
         # temporaries are 7.5 GB for section 0 at serving batch and OOM.
@@ -348,22 +500,45 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
         mag_sec = mag_t[:, :, a:b]
         sec32 = mag_sec.astype(acc_dtype)
         fb32 = fb_act_c.astype(acc_dtype)
-        s1 = sec32 @ sel_n + fb32 @ sel_f  # [Tp, B, n]
-        s2 = jnp.square(sec32) @ sel_n + jnp.square(fb32) @ sel_f
-        mu = s1 / w_tot
-        var = s2 / w_tot - jnp.square(mu)
-        rstd = jax.lax.rsqrt(var + LN_EPS)
-        u32, v32 = u.astype(acc_dtype), v.astype(acc_dtype)
+        mu = rstd = None
+        alpha = beta = None  # xg = alpha * ck - beta * u + v
+        if norm_mode == "ln":
+            s1 = sec32 @ sel_n + fb32 @ sel_f  # [Tp, B, n]
+            s2 = jnp.square(sec32) @ sel_n + jnp.square(fb32) @ sel_f
+            mu = s1 / w_tot
+            var = s2 / w_tot - jnp.square(mu)
+            rstd = jax.lax.rsqrt(var + LN_EPS)
+            alpha, beta = rstd, rstd * mu
+        elif norm_mode == "cum":
+            # cumulative_laplace_norm per flattened (b, n) over (w, t<=T)
+            # (dsp/feature_norm.py:42-60 generalization of base_model.py:277)
+            s1 = sec32 @ sel_n + fb32 @ sel_f
+            cnt = jnp.arange(1, Tp + 1, dtype=acc_dtype)[:, None, None] * w_tot
+            alpha = 1.0 / (jnp.cumsum(s1, axis=0) / cnt + EPSILON)
+        elif norm_mode == "off":
+            # offline_laplace_norm: ONE scalar per utterance per section
+            # (mean over (N, w, T), base_model.py:252-274 applied to the
+            # 5-D sub-band input) — real frames only
+            s1 = sec32 @ sel_n + fb32 @ sel_f
+            tot = jnp.sum(s1[:T], axis=(0, 2)) / (n * w_tot * T)  # [B]
+            alpha = jnp.broadcast_to(
+                (1.0 / (tot + EPSILON))[None, :, None], (Tp, B, n))
+        u32 = u.astype(acc_dtype) if u is not None else None
+        v32 = v.astype(acc_dtype) if v is not None else None
         units = []
         for k in range(n):
             ck = (
                 jnp.matmul(mag_sec, wsc_n[:, k], preferred_element_type=dot_out)
                 + jnp.matmul(fb_act_c, wsc_f[:, k], preferred_element_type=dot_out)
             )  # [Tp, B, g]
-            rs = rstd[:, :, k, None].astype(acc_dtype)
-            units.append(
-                (rs * ck.astype(acc_dtype)
-                 - (rs * mu[:, :, k, None]) * u32 + v32).astype(compute_dtype))
+            if norm_mode == "raw":
+                units.append(ck.astype(compute_dtype))
+                continue
+            al = alpha[:, :, k, None].astype(acc_dtype)
+            xg_u = al * ck.astype(acc_dtype)
+            if norm_mode == "ln":
+                xg_u = xg_u - beta[:, :, k, None].astype(acc_dtype) * u32 + v32
+            units.append(xg_u.astype(compute_dtype))
         # units stack on the OUTERMOST axis — disjoint slab writes, no
         # retiling (a row-axis concatenate measured 13 ms/section)
         xg0 = jnp.stack(units, axis=0)  # [n, Tp, B, g]
@@ -391,19 +566,6 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
                 jnp.swapaxes(xg0, 0, 1).reshape(Tp, n * B, -1), H_sb, shared)
             spikes = [
                 jnp.swapaxes(s.reshape(Tp, n, B, -1), 0, 1) for s in spikes]
-        # projection with DF-friendly column order: permute the output
-        # columns from the reference's (c, fc, df) lane order to
-        # (c, df, fc) so each tap's coefficients are a CONTIGUOUS lane
-        # slice — the (c fc df) 6D reshape + strided slicing measured
-        # ~25 ms of T-minor relayout fusions at serving batch.
-        df = cfg.df_orders[i]
-        # new row (c, d, fc) pulls old row (c, fc, d):
-        # new_W[(c*df+d)*ctr+fc] = W[(c*ctr+fc)*df+d]
-        src = (np.arange(2)[:, None, None] * ctr * df
-               + np.arange(ctr)[None, None, :] * df
-               + np.arange(df)[None, :, None]).reshape(-1)
-        w_proj = sb_params[i]["proj"]["weight"][src]
-        b_proj = sb_params[i]["proj"]["bias"][src]
         hp_sb = _round_up(H_sb, 128) if padded else H_sb
         proj_p = (
             jnp.matmul(spikes[-1], _pad_w_rows(w_proj.T, hp_sb),
@@ -412,31 +574,7 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
         )  # [n, Tp, B, 2*df*ctr] in (c, d, fc) lane order
         proj_p = output_activation(scfg.output_activate_function)(proj_p)
 
-        # ---- deep filtering: real-arithmetic complex FIR, units-major ----
-        f0 = num_filtered
-        sr_ = re_t[:T, :, f0 : f0 + n * ctr].reshape(T, B, n, ctr)
-        si_ = im_t[:T, :, f0 : f0 + n * ctr].reshape(T, B, n, ctr)
-        # taps to units-major [n, T, B, ctr] (small tensors — cheap)
-        sr_ = jnp.transpose(sr_, (2, 0, 1, 3))
-        si_ = jnp.transpose(si_, (2, 0, 1, 3))
-        if df > 1:
-            zpad = jnp.zeros(sr_.shape[:1] + (df - 1,) + sr_.shape[2:], sr_.dtype)
-            pr = jnp.concatenate([zpad, sr_], axis=1)
-            pi = jnp.concatenate([zpad, si_], axis=1)
-        coef = proj_p[:, :T]  # [n, T, B, 2*df*ctr]
-        er = ei = None
-        for d in range(df):
-            tr = pr[:, d : d + T] if df > 1 else sr_
-            ti = pi[:, d : d + T] if df > 1 else si_
-            cr = coef[..., d * ctr : (d + 1) * ctr].astype(acc_dtype)
-            ci = coef[..., (df + d) * ctr : (df + d + 1) * ctr].astype(acc_dtype)
-            t_re = tr * cr - ti * ci
-            t_im = tr * ci + ti * cr
-            er = t_re if er is None else er + t_re
-            ei = t_im if ei is None else ei + t_im
-        # back to [T, B, n*ctr] for the spectrum assembly
-        enh_re.append(jnp.transpose(er, (1, 2, 0, 3)).reshape(T, B, n * ctr))
-        enh_im.append(jnp.transpose(ei, (1, 2, 0, 3)).reshape(T, B, n * ctr))
+        _df_section(proj_p, n, ctr, df, num_filtered)
         num_filtered += n * ctr
 
         # synops contract: [ln_input, spikes..., proj] with (b n)-folded
@@ -445,17 +583,22 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
         # collect_layer_outputs=False the lists are empty (the kernel never
         # writes the non-final spike streams).
         if collect:
-            # mu/rstd are [Tp, n, B]; the gathered input is [Tp, B, n, w] —
-            # the contract's fold is b-major (t (b n) w), matching fused.
+            # the gathered input is [Tp, B, n, w] — the contract's fold is
+            # b-major (t (b n) w), matching fused.
             x_gather = jnp.concatenate(
                 [mag_t[:, :, jnp.asarray(idx_noisy)],
                  fb_act_c[:, :, jnp.asarray(idx_fb)]],
                 axis=-1).astype(acc_dtype)
-            ln_x = (x_gather - mu[..., None]) * rstd[..., None]
-            ln_x = (
-                ln_x * sb_params[i]["pre_ln"]["weight"].astype(acc_dtype)
-                + sb_params[i]["pre_ln"]["bias"].astype(acc_dtype)
-            ).astype(compute_dtype).reshape(Tp, B * n, w_tot)
+            if norm_mode == "ln":
+                ln_x = (x_gather - mu[..., None]) * rstd[..., None]
+                ln_x = (
+                    ln_x * sb_params[i]["pre_ln"]["weight"].astype(acc_dtype)
+                    + sb_params[i]["pre_ln"]["bias"].astype(acc_dtype))
+            elif norm_mode == "raw":
+                ln_x = x_gather
+            else:  # cum / off: the scalar division itself
+                ln_x = x_gather * alpha[..., None].astype(acc_dtype)
+            ln_x = ln_x.astype(compute_dtype).reshape(Tp, B * n, w_tot)
             # undo the units-major layout, spike lane padding, and the DF
             # column permutation: the contract is (t (b n) feat)
             to_bn = lambda x: jnp.transpose(x, (1, 2, 0, 3)).reshape(
@@ -466,6 +609,78 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
                 [ln_x[:T]]
                 + [to_bn(s[..., :H_sb])[:T] for s in spikes]
                 + [proj_orig[:T]])
+
+    if merged:
+        U = sum(geo[0] for geo in m_spec["geom"])
+        up = _round_up(U, 8)
+        norm_mode = m_spec["sel"][0][3]  # uniform across sections
+        if norm_mode == "raw":
+            alpha_all = beta_all = None
+        else:
+            # ONE combined stats sweep for every section's units: two wide
+            # dots + one fused elementwise chain on [Tp, B, up]
+            sel_mag = np.zeros((full_f, up), np.float32)
+            sel_fb = np.zeros((cfg.fb_proj_size, up), np.float32)
+            wt = np.ones((up,), np.float32)
+            u0 = 0
+            for (cols_m, cols_f, w_tot_s, _), geo in zip(m_spec["sel"], m_spec["geom"]):
+                n_s = geo[0]
+                sel_mag[:, u0:u0 + n_s] = cols_m
+                sel_fb[:, u0:u0 + n_s] = cols_f
+                wt[u0:u0 + n_s] = w_tot_s
+                u0 += n_s
+            mag32 = mag_t.astype(acc_dtype)
+            fb32 = fb_act_c.astype(acc_dtype)
+            s1 = mag32 @ jnp.asarray(sel_mag) + fb32 @ jnp.asarray(sel_fb)
+            inv_wt = jnp.asarray(1.0 / wt)
+            if norm_mode == "ln":
+                s2 = (jnp.square(mag32) @ jnp.asarray(sel_mag)
+                      + jnp.square(fb32) @ jnp.asarray(sel_fb))
+                mu = s1 * inv_wt
+                var = s2 * inv_wt - jnp.square(mu)
+                rstd = jax.lax.rsqrt(var + LN_EPS)
+                alpha_all = rstd.astype(jnp.float32)
+                beta_all = (rstd * mu).astype(jnp.float32)
+            elif norm_mode == "cum":
+                cnt = jnp.arange(1, Tp + 1, dtype=acc_dtype)[:, None, None]
+                alpha_all = (1.0 / (jnp.cumsum(s1, axis=0) * inv_wt / cnt
+                                    + EPSILON)).astype(jnp.float32)
+                beta_all = jnp.zeros_like(alpha_all)
+            else:  # off: one scalar per (utterance, section), real frames only
+                sec_sum = jnp.sum(s1[:T], axis=0)  # [B, up]
+                al_cols = []
+                for (_, _, w_tot_s, _), geo in zip(m_spec["sel"], m_spec["geom"]):
+                    n_s = geo[0]
+                    u0 = len(al_cols) and sum(x.shape[-1] for x in al_cols)
+                    tot = jnp.sum(sec_sum[:, u0:u0 + n_s], axis=-1) / (
+                        n_s * w_tot_s * T)
+                    al_cols.append(jnp.broadcast_to(
+                        (1.0 / (tot + EPSILON))[:, None], (B, n_s)))
+                al = jnp.concatenate(al_cols, axis=-1)
+                al = jnp.pad(al, ((0, 0), (0, up - U)))
+                alpha_all = jnp.broadcast_to(al[None], (Tp, B, up)).astype(jnp.float32)
+                beta_all = jnp.zeros_like(alpha_all)
+        fbp = _round_up(cfg.fb_proj_size, 128)
+        xb = fb_act_c
+        if xb.shape[-1] != fbp:
+            xb = jnp.pad(xb, ((0, 0), (0, 0), (0, fbp - xb.shape[-1])))
+        if _DEBUG_STAGE == "alpha":
+            return {"alpha": alpha_all, "beta": beta_all, "fb": fb_act_c,
+                    "w": [m_spec["wa"], m_spec["wb"]]}
+        sec_spec = []
+        sec_geom = []
+        for n, ctr, df, f0 in m_spec["geom"]:
+            w = n * ctr
+            sec_spec.append((re_t[:, :, f0: f0 + w], im_t[:, :, f0: f0 + w]))
+            sec_geom.append((ctr, df))
+        outs = gsu_pallas.gsu_sections_eval_pallas(
+            m_spec["p"], m_spec["s"], m_spec["wa"], m_spec["wb"],
+            m_spec["uv"], m_spec["wp"], m_spec["bp"],
+            mag_t, xb, alpha_all, beta_all, H_sb, shared,
+            sec_spec=sec_spec, sec_geom=sec_geom)
+        for (er, ei) in outs:
+            enh_re.append(er[:T])
+            enh_im.append(ei[:T])
 
     # ---- Nyquist passthrough + iSTFT ----
     out_re = jnp.concatenate(enh_re + [re_t[:T, :, full_f:]], axis=-1)

@@ -1167,6 +1167,453 @@ def gsu_stack_eval_pallas_xg(
     return out, [out], state
 
 
+# ---------------------------------------- fused sections eval (serve path v2)
+
+
+def _sections_kernel(*refs, sec_cfgs, L: int, hp: int, g: int,
+                     t_blk: int, shared: bool, io_dtype, has_xb: bool,
+                     has_ab: bool, fa: int, df_mode: bool):
+    """All sub-band sections (or the fullband stack) in ONE launch, with the
+    layer-0 input projection computed IN-KERNEL from the shared feature
+    streams and the output projection fused onto the last layer's spikes.
+
+    Per unit per timestep:
+        ck  = xa[:, a0:a0+aw] @ wa[u] (+ xb @ wb[u])        # MXU
+        xg0 = alpha[t,b,u] * ck - beta[t,b,u] * uvec + vvec # normalization
+        ... L GSU layers (VMEM-resident carries) ...
+        out[u, t] = spikes_L @ wproj + bproj                # MXU
+
+    This removes the serve path's dominant HBM traffic: the xg0 streams
+    ([U, T, B, G] written by outside matmuls then re-read here) and the
+    last-layer spike streams ([U, T, B, Hp] written here then re-read by the
+    outside projection) never exist — XLA cost analysis measured the old
+    path at 88.9 GB accessed per serving batch (memory-bound). alpha/beta
+    cover every supported input normalization (pre-LN fold / cumulative /
+    offline laplace norms / none) as per-unit scalar streams.
+
+    refs layout (built by gsu_sections_eval_pallas):
+        xa, [xb], [alpha, beta], then per section:
+        wa [n, aw, G], [wb [n, Fb, G]], uv [2, G], wihr [L-1|1, hp, g],
+        whh [L, hp, g], coef [L, 4, hp], wproj [hp, P], bproj [8, P],
+        then per section one out ref [n, t_blk, b_blk, P].
+    """
+    ti = pl.program_id(1)
+    n_sec = len(sec_cfgs)
+    n_scr = 2 + (2 * n_sec if df_mode else 0)
+    refs, scratches = list(refs[:-n_scr]), refs[-n_scr:]
+    h_scr, c_scr = scratches[0], scratches[1]
+    rings = scratches[2:]  # df_mode: per section (ring_re, ring_im)
+
+    @pl.when(ti == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        for ring in rings:
+            ring[:] = jnp.zeros_like(ring)
+
+    it = iter(refs)
+    xa_ref = next(it)
+    xb_ref = next(it) if has_xb else None
+    a_ref = next(it) if has_ab else None
+    b_ref = next(it) if has_ab else None
+    secs = []
+    for sc in sec_cfgs:
+        wa = next(it)
+        wb = next(it) if has_xb else None
+        uv = next(it) if sc["ln"] else None
+        wihr = next(it)
+        whh = next(it)
+        coef = next(it)
+        wproj = next(it)
+        bproj = next(it)
+        spec = (next(it), next(it)) if df_mode else None
+        secs.append((sc, wa, wb, uv, wihr, whh, coef, wproj, bproj, spec))
+    out_refs = list(it)
+
+    # rows layout: units of all sections concatenated on the SUBLANE axis —
+    # carries are [L, U*b_blk, hp] so each section's recurrent/inter-layer/
+    # projection matmul runs ONCE over [n_s*b_blk, hp] rows (units share the
+    # stack weights; only the layer-0 input weights are per-unit). Few big
+    # MXU dots per step instead of 6 small ones per unit — the per-unit
+    # variant measured 13% of peak at serving shapes.
+    b_blk = h_scr.shape[1] // sum(sc["n"] for sc, *_ in secs)
+
+    def body(i, _):
+        xa_t = xa_ref[i]  # [b_blk, Fa] io dtype
+        xb_t = xb_ref[i] if has_xb else None
+        uu = 0
+        r0 = 0
+        for s, (sc, wa, wb, uv, wihr, whh, coef, wproj, bproj, spec) in enumerate(secs):
+            n = sc["n"]
+            a0, aw = sc["a0"], sc["aw"]
+            xa_sl = xa_t[:, a0:a0 + aw] if (a0, aw) != (0, fa) else xa_t
+            # --- layer-0 gates per unit (per-unit weights) ---
+            xgs = []
+            for j in range(n):
+                ck = jnp.dot(xa_sl, wa[j], preferred_element_type=jnp.float32)
+                if wb is not None:
+                    ck = ck + jnp.dot(xb_t, wb[j], preferred_element_type=jnp.float32)
+                if has_ab:
+                    al = a_ref[i, :, uu:uu + 1]  # [b_blk, 1] f32
+                    xg_u = al * ck
+                    if sc["ln"]:
+                        xg_u = (xg_u - b_ref[i, :, uu:uu + 1] * uv[0:1, :]
+                                + uv[1:2, :])
+                else:
+                    xg_u = ck
+                xgs.append(xg_u)
+                uu += 1
+            xg = jnp.concatenate(xgs, axis=0) if n > 1 else xgs[0]
+            # --- stack layers, batched over the section's units ---
+            rows = slice(r0, r0 + n * b_blk)
+            h_in = None
+            for k in range(L):
+                if k > 0:
+                    xg = jnp.dot(h_in, wihr[k - 1],
+                                 preferred_element_type=jnp.float32)
+                h = h_scr[k, rows]
+                c = c_scr[k, rows]
+                rg = jnp.dot(h, whh[k], preferred_element_type=jnp.float32)
+                pre = xg + rg
+                b_f = coef[k, 0:1, :]
+                b_c = coef[k, 1:2, :]
+                scale = coef[k, 2:3, :]
+                shift = coef[k, 3:4, :]
+                if shared:
+                    f = jax.nn.sigmoid(pre + b_f)
+                    gcell = pre + b_c
+                else:
+                    f = jax.nn.sigmoid(pre[:, :hp] + b_f)
+                    gcell = pre[:, hp:] + b_c
+                cy = (f * c + (1.0 - f) * gcell) * scale + shift
+                hy = (cy >= 0.0).astype(io_dtype)
+                h_scr[k, rows] = hy
+                c_scr[k, rows] = cy
+                h_in = hy
+            y = jnp.dot(h_in, wproj[:, :], preferred_element_type=jnp.float32)
+            y = y + bproj[0:1, :]
+            if not df_mode:
+                # [n*b_blk, P] -> [n, b_blk, P]: leading-dim split, sublane-
+                # contiguous, free in Mosaic
+                out_refs[s][:, i] = y.reshape(n, b_blk, -1).astype(io_dtype)
+                r0 += n * b_blk
+                continue
+            # --- deep filtering in-kernel: y's lanes are per-unit
+            # (c, d, fc) filter taps; a VMEM ring of the last df spectrum
+            # frames turns them into the enhanced spectrum directly — the
+            # [n, T, B, P] coefficient stream (and its narrow-lane layout
+            # conversions outside, xprof-measured at 43 ms/batch) never
+            # exists. All FIR math is f32 on [b_blk, ctr]-shaped values.
+            ctr, df = sc["ctr"], sc["df"]
+            re_ref, im_ref = spec
+            ring_re, ring_im = rings[2 * s], rings[2 * s + 1]
+            # scroll the ring: slot d holds frame t-d (slot 0 = current)
+            for d in range(df - 1, 0, -1):
+                ring_re[d] = ring_re[d - 1]
+                ring_im[d] = ring_im[d - 1]
+            ring_re[0] = re_ref[i]
+            ring_im[0] = im_ref[i]
+            er_units = []
+            ei_units = []
+            for j in range(n):
+                rows = slice(j * b_blk, (j + 1) * b_blk)
+                er = ei = None
+                for d in range(df):
+                    # tap d pairs with frame t-(df-1-d): the reference's
+                    # time-unfold puts the OLDEST frame at tap 0
+                    # (deepfiltering, modeling_spiking_fullsubnet.py:331-344)
+                    cr = y[rows, d * ctr:(d + 1) * ctr]
+                    ci = y[rows, (df + d) * ctr:(df + d + 1) * ctr]
+                    tr = ring_re[df - 1 - d][:, j * ctr:(j + 1) * ctr]
+                    tm = ring_im[df - 1 - d][:, j * ctr:(j + 1) * ctr]
+                    t_re = tr * cr - tm * ci
+                    t_im = tr * ci + tm * cr
+                    er = t_re if er is None else er + t_re
+                    ei = t_im if ei is None else ei + t_im
+                er_units.append(er)
+                ei_units.append(ei)
+            out_refs[2 * s][i] = (
+                jnp.concatenate(er_units, axis=1) if n > 1 else er_units[0])
+            out_refs[2 * s + 1][i] = (
+                jnp.concatenate(ei_units, axis=1) if n > 1 else ei_units[0])
+            r0 += n * b_blk
+        return 0
+
+    jax.lax.fori_loop(0, t_blk, body, 0)
+
+
+def gsu_sections_eval_pallas(
+    sec_params,       # list: per-section stack params {"layers": [...]}
+    sec_states,       # list: per-section stack state (BN running stats)
+    sec_wa,           # list: [n_i, Fa, G] per-unit layer-0 weights for xa
+    sec_wb,           # list of [n_i, Fb, G] or None (no second stream)
+    sec_uv,           # list of (u [G], v [G]) or None per section (pre-LN fold)
+    sec_wproj,        # list: [P_i, H] torch-layout output projection weights
+    sec_bproj,        # list: [P_i]
+    xa: jax.Array,    # [T, B, Fa] feature stream (io dtype; Fa mult of 128)
+    xb,               # [T, B, Fb] or None (Fb mult of 128)
+    alpha,            # [T, B, Up] f32 per-unit scale stream or None
+    beta,             # [T, B, Up] f32 (LN mean term; zeros where unused) or None
+    hidden: int,
+    shared: bool,
+    t_blk: Optional[int] = None,
+    sec_spec=None,    # list of (re [T,B,w_i], im [T,B,w_i]) f32 -> DF in-kernel
+    sec_geom=None,    # list of (ctr_i, df_i), required with sec_spec
+):
+    """Fused multi-section stack eval — the serving path's single launch.
+
+    Without sec_spec: returns a list of [n_i, T, B, P_i_pad] per-section
+    projection outputs (padded lanes above the real P_i are garbage;
+    callers slice). With sec_spec/sec_geom, the per-unit deep-filter taps
+    are applied IN-KERNEL against a VMEM ring of the last df_i noisy
+    spectrum frames, returning [(enh_re [T,B,w_i], enh_im [T,B,w_i])] f32
+    per section — the coefficient tensors never reach HBM. Output
+    activation must be identity (the published configs' convention);
+    callers gate on that. BN uses eval-mode running stats (folded affine).
+    """
+    df_mode = sec_spec is not None
+    T, B, Fa = xa.shape
+    H = hidden
+    L = len(sec_params[0]["layers"])
+    mixed = xa.dtype == jnp.bfloat16
+    io_dtype = jnp.bfloat16 if mixed else jnp.float32
+    io_bytes = 2 if mixed else 4
+    hp = _round_up(H, 128)
+    g = hp if shared else 2 * hp
+    n_sec = len(sec_params)
+    has_xb = xb is not None
+    has_ab = alpha is not None
+    Fb = xb.shape[-1] if has_xb else 0
+    U = sum(int(w.shape[0]) for w in sec_wa)
+
+    B_real = B
+    if B % 8 != 0:
+        pad = _round_up(B, 8) - B
+        xa = jnp.pad(xa, ((0, 0), (0, pad), (0, 0)))
+        if has_xb:
+            xb = jnp.pad(xb, ((0, 0), (0, pad), (0, 0)))
+        if has_ab:
+            alpha = jnp.pad(alpha, ((0, 0), (0, pad), (0, 0)))
+            beta = jnp.pad(beta, ((0, 0), (0, pad), (0, 0)))
+        if df_mode:
+            sec_spec = [
+                (jnp.pad(re, ((0, 0), (0, pad), (0, 0))),
+                 jnp.pad(im, ((0, 0), (0, pad), (0, 0))))
+                for re, im in sec_spec
+            ]
+        B = B + pad
+    # lane-pad the feature streams to the 128 tile (tiny test configs);
+    # production widths (256 mag / 128 fb) are already aligned
+    if Fa % 128 != 0:
+        fa_p = _round_up(Fa, 128)
+        xa = jnp.pad(xa, ((0, 0), (0, 0), (0, fa_p - Fa)))
+        sec_wa = [jnp.pad(w, ((0, 0), (0, fa_p - Fa), (0, 0))) for w in sec_wa]
+        Fa = fa_p
+    if has_xb and Fb % 128 != 0:
+        fb_p = _round_up(Fb, 128)
+        xb = jnp.pad(xb, ((0, 0), (0, 0), (0, fb_p - Fb)))
+        sec_wb = [jnp.pad(w, ((0, 0), (0, fb_p - Fb), (0, 0))) for w in sec_wb]
+        Fb = fb_p
+
+    # ---- static per-section config + packed weights ----
+    sec_cfgs = []
+    ins = []
+    p_pads = []
+    w_bytes = 0
+    for s in range(n_sec):
+        n = int(sec_wa[s].shape[0])
+        wa = sec_wa[s]
+        # (hook for narrowing the per-section xa window to a 128-aligned
+        # span; full width for now — the layer-0 dot is a minor flop term)
+        a0, aw = 0, Fa
+        sc = {"n": n, "a0": a0, "aw": aw, "ln": sec_uv[s] is not None}
+        if df_mode:
+            sc["ctr"], sc["df"] = sec_geom[s]
+        sec_cfgs.append(sc)
+        P = int(sec_wproj[s].shape[0])
+        P_pad = _round_up(P, 128)
+        p_pads.append(P_pad)
+
+        wa_p = jnp.asarray(wa, io_dtype)
+        ins.append(wa_p)
+        w_bytes += wa_p.size * io_bytes
+        if has_xb:
+            wb_p = jnp.asarray(sec_wb[s], io_dtype)
+            ins.append(wb_p)
+            w_bytes += wb_p.size * io_bytes
+        if sec_uv[s] is not None:
+            u_vec, v_vec = sec_uv[s]
+            uv = jnp.stack([u_vec.astype(jnp.float32),
+                            v_vec.astype(jnp.float32)])
+            ins.append(uv)
+            w_bytes += uv.size * 4
+        wihr = jnp.zeros((max(L - 1, 1), hp, g), io_dtype)
+        whh = jnp.zeros((L, hp, g), io_dtype)
+        coef = jnp.zeros((L, 4, hp), jnp.float32).at[:, 2, :].set(1.0)
+        for k, (lp, ls) in enumerate(zip(sec_params[s]["layers"],
+                                         sec_states[s]["layers"])):
+            if k > 0:
+                wihr = wihr.at[k - 1].set(_pack_w_generic(
+                    lp["weight_ih"], H, hp, g, H, hp, shared).astype(io_dtype))
+            whh = whh.at[k].set(
+                _pack_w(lp["weight_hh"], H, hp, g, shared).astype(io_dtype))
+            bias = lp["bias_ih"].astype(jnp.float32)
+            coef = coef.at[k, 0, :H].set(bias[:H]).at[k, 1, :H].set(bias[H:])
+            if "bn" in lp:
+                rv = ls["bn"]["running_var"].astype(jnp.float32)
+                rm = ls["bn"]["running_mean"].astype(jnp.float32)
+                w32 = lp["bn"]["weight"].astype(jnp.float32)
+                b32 = lp["bn"]["bias"].astype(jnp.float32)
+                scale = w32 * jax.lax.rsqrt(rv + BN_EPS)
+                coef = coef.at[k, 2, :H].set(scale).at[k, 3, :H].set(
+                    b32 - rm * scale)
+        wproj = jnp.zeros((hp, P_pad), io_dtype).at[:H, :P].set(
+            sec_wproj[s].T.astype(io_dtype))
+        bproj = jnp.zeros((8, P_pad), jnp.float32).at[:, :P].set(
+            sec_bproj[s].astype(jnp.float32))
+        ins.extend([wihr, whh, coef, wproj, bproj])
+        w_bytes += (wihr.size + whh.size + wproj.size) * io_bytes + (
+            coef.size + bproj.size) * 4
+        if df_mode:
+            re, im = sec_spec[s]
+            ins.extend([re.astype(jnp.float32), im.astype(jnp.float32)])
+
+    # ---- plan t_blk / b_blk under the VMEM budget ----
+    # This kernel's unrolled per-section bodies keep several [n_s*b_blk, G]
+    # f32 temporaries (xg concat, gate math, projection) live at once, which
+    # the explicit model below does not see — budget HALF the capacity
+    # (measured: 3/4 OOMs by 18 MiB at flagship serving shapes).
+    budget = vmem_capacity() // 2
+    b_blk = B
+    while True:
+        fixed = w_bytes + (io_bytes + 4) * L * U * b_blk * hp
+        if df_mode:
+            fixed += sum(8 * sc["df"] * b_blk * sc["n"] * sc["ctr"]
+                         for sc in sec_cfgs)  # f32 ring pairs
+        per_row = (Fa + (Fb if has_xb else 0)) * io_bytes
+        if has_ab:
+            up = alpha.shape[-1]
+            per_row += 2 * up * 4
+        if df_mode:
+            # spec in + enhanced out, both f32 section-width pairs
+            per_row += sum(4 * sc["n"] * sc["ctr"] * 4 for sc in sec_cfgs)
+        else:
+            per_row += sum(sc["n"] * pp for sc, pp in zip(sec_cfgs, p_pads)) * io_bytes
+        per_t = b_blk * per_row * 2  # double-buffered
+        tb = max((budget - fixed) // per_t, 0)
+        tb = min(tb, 128, T)
+        tb = _divisor_at_most(T, tb) if tb >= 1 else 0
+        if tb >= 1:
+            break
+        nb = _divisor_at_most_mult8(B, b_blk // 2)
+        if nb < 8 or nb == b_blk:
+            raise ValueError("GSU sections kernel: shape exceeds VMEM budget.")
+        b_blk = nb
+    tb = t_blk or tb
+    if T % tb != 0:
+        raise ValueError(f"T={T} not a multiple of t_blk={tb}")
+    grid = (B // b_blk, T // tb)
+
+    in_specs = [pl.BlockSpec((tb, b_blk, Fa), lambda bi, ti: (ti, bi, 0),
+                             memory_space=pltpu.VMEM)]
+    arrays = [xa.astype(io_dtype)]
+    if has_xb:
+        in_specs.append(pl.BlockSpec((tb, b_blk, Fb), lambda bi, ti: (ti, bi, 0),
+                                     memory_space=pltpu.VMEM))
+        arrays.append(xb.astype(io_dtype))
+    if has_ab:
+        up = alpha.shape[-1]
+        for arr in (alpha, beta):
+            in_specs.append(pl.BlockSpec((tb, b_blk, up),
+                                         lambda bi, ti: (ti, bi, 0),
+                                         memory_space=pltpu.VMEM))
+            arrays.append(arr.astype(jnp.float32))
+    for s in range(n_sec):
+        n = sec_cfgs[s]["n"]
+        specs = [pl.BlockSpec((n, Fa, g), lambda bi, ti: (0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+        if has_xb:
+            specs.append(pl.BlockSpec((n, Fb, g), lambda bi, ti: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        if sec_cfgs[s]["ln"]:
+            specs.append(pl.BlockSpec((2, g), lambda bi, ti: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        specs.extend([
+            pl.BlockSpec((max(L - 1, 1), hp, g), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hp, g), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4, hp), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, p_pads[s]), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p_pads[s]), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+        if df_mode:
+            w = sec_cfgs[s]["n"] * sec_cfgs[s]["ctr"]
+            for _ in range(2):
+                specs.append(pl.BlockSpec((tb, b_blk, w),
+                                          lambda bi, ti: (ti, bi, 0),
+                                          memory_space=pltpu.VMEM))
+        in_specs.extend(specs)
+    arrays.extend(ins)
+    assert len(arrays) == len(in_specs)
+
+    out_specs = []
+    out_shapes = []
+    for s in range(n_sec):
+        n = sec_cfgs[s]["n"]
+        if df_mode:
+            w = n * sec_cfgs[s]["ctr"]
+            for _ in range(2):
+                out_specs.append(pl.BlockSpec((tb, b_blk, w),
+                                              lambda bi, ti: (ti, bi, 0),
+                                              memory_space=pltpu.VMEM))
+                out_shapes.append(jax.ShapeDtypeStruct((T, B, w), jnp.float32))
+        else:
+            out_specs.append(pl.BlockSpec((n, tb, b_blk, p_pads[s]),
+                                          lambda bi, ti: (0, ti, bi, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n, T, B, p_pads[s]), io_dtype))
+
+    scratch_shapes = [
+        pltpu.VMEM((L, U * b_blk, hp), io_dtype),
+        pltpu.VMEM((L, U * b_blk, hp), jnp.float32),
+    ]
+    if df_mode:
+        for s in range(n_sec):
+            w = sec_cfgs[s]["n"] * sec_cfgs[s]["ctr"]
+            for _ in range(2):
+                scratch_shapes.append(
+                    pltpu.VMEM((sec_cfgs[s]["df"], b_blk, w), jnp.float32))
+
+    kernel = functools.partial(
+        _sections_kernel, sec_cfgs=sec_cfgs, L=L, hp=hp, g=g, t_blk=tb,
+        shared=shared, io_dtype=io_dtype, has_xb=has_xb, has_ab=has_ab, fa=Fa,
+        df_mode=df_mode)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
+    )(*arrays)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    if df_mode:
+        if B_real != B:
+            outs = [o[:, :B_real] for o in outs]
+        return [(outs[2 * s], outs[2 * s + 1]) for s in range(n_sec)]
+    if B_real != B:
+        outs = [o[:, :, :B_real] for o in outs]
+    return list(outs)
+
+
 def _divisor_at_most(n: int, cap: int) -> int:
     """Largest divisor of n that is <= cap (>= 1)."""
     best = 1

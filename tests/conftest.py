@@ -53,3 +53,57 @@ def _scope_reference_oracle_stubs():
     from reference_oracle import remove_stubs
 
     remove_stubs()
+
+
+# ----------------------------------------------------------- fast test tier
+# `pytest -m "not slow"` is the <5-minute iteration tier; the full suite
+# (~25 min) stays CI's job. Curated from --durations of full runs: every
+# test >=10 s lands here (big-batch CPU parity, subprocess TPU/multiprocess
+# runs, e2e recipe trains). docs/reference/FAQ.md documents the workflow.
+_SLOW_MODULES = {
+    "test_tpu_kernels", "test_gan_trainers", "test_recipes_e2e",
+    "test_trainer_e2e", "test_multiprocess", "test_export_serving",
+    "test_band_sharding", "test_model_zoo_build",
+}
+_SLOW_TESTS = {
+    "test_stream_forward": (
+        "test_stream_train_pallas_interpret_close",
+        "test_stream_train_matches_layered_f64",
+        "test_stream_pallas_interpret_matches_layered_f32",
+        "test_stream_matches_layered_f64",
+        "test_stream_collect_flag_only_drops_layer_outputs",
+        "test_stream_norm_type_matches_layered_f64",
+    ),
+    "test_fused_forward": (
+        "test_fused_grad_matches_layered_f64",
+        "test_fused_matches_layered_exactly_f64",
+    ),
+    "test_parallel": ("test_sharded_step_matches_single_device",),
+    "test_mixed_precision": (
+        "test_bf16_forward_preserves_quality",
+        "test_bf16_train_step_f32_grads_and_state",
+    ),
+    "test_spiking_fullsubnet": (
+        "test_latest_generation_parity",
+        "test_frozen_zoo_checkpoint_parity",
+        "test_zoo_published_cumulative_norm_config",
+    ),
+    "test_shared_subband": ("test_shared_subband_forward_and_param_count",),
+    "test_streaming": (
+        "test_streaming_cumulative_norm", "test_streaming_matches_offline"),
+    "test_debug_tracer": (
+        "test_max_steps_stops_mid_epoch", "test_tracer_records_module_frames"),
+    "test_other_models": (
+        "test_fullsubnet_parity", "test_discriminator_parity"),
+    "test_sdnn": ("test_sdnn_forward_grad_causality",),
+    "test_gsu_pallas": (
+        "test_train_gradients", "test_grad_through_input_projection"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or name in _SLOW_TESTS.get(mod, ()):
+            item.add_marker(pytest.mark.slow)

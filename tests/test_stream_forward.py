@@ -222,3 +222,80 @@ def test_tmajor_dft_bf16_matmul_quality():
         assert snr > 35, snr  # bf16 mantissa floor, well below audibility
     finally:
         S.DFT_MODE = old
+
+
+# ------------------------------------------- frozen-generation norm fast path
+
+
+def _zoo_like_cfg(norm_type):
+    """Tiny separator-style config (no pre-LN, frozen-generation norm)."""
+    from spiking_fullsubnet_tpu.models.spiking_fullsubnet import (
+        SpikingFullSubNetConfig)
+
+    return SpikingFullSubNetConfig(
+        n_fft=128, hop_length=32, win_length=128,
+        fb_input_size=16, fb_hidden_size=24, fb_proj_size=16,
+        sb_hidden_size=20, freq_cutoffs=(0, 8, 32, 64),
+        df_orders=(2, 1, 1), center_freq_sizes=(2, 8, 16),
+        neighbor_freq_sizes=(3, 3, 3),
+        fb_center_freq_sizes=(2, 8, 16), fb_neighbor_freq_sizes=(0, 0, 0),
+        use_pre_layer_norm_fb=False, use_pre_layer_norm_sb=False,
+        norm_type=norm_type, bn=True, shared_weights=True,
+        scan_mode="layered")
+
+
+@pytest.mark.parametrize("norm", ["cumulative_laplace_norm", "offline_laplace_norm"])
+def test_stream_norm_type_matches_layered_f64(norm):
+    """The published checkpoints' norms run on the stream fast path: the
+    per-(unit, frame) scalar division commutes through the hoisted layer-0
+    matmul (xg = alpha * (x @ W)). Parity vs the layered oracle in f64,
+    eval AND train (VERDICT r4 #2)."""
+    from spiking_fullsubnet_tpu.models.spiking_fullsubnet import (
+        spiking_fullsubnet_apply, spiking_fullsubnet_init)
+    from spiking_fullsubnet_tpu.models.stream_forward import stream_supported
+
+    cfg = _zoo_like_cfg(norm)
+    assert stream_supported(cfg)
+    params, state = spiking_fullsubnet_init(jax.random.PRNGKey(0), cfg,
+                                            dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((2, 4000)) * 0.1)
+
+    ref = spiking_fullsubnet_apply(cfg, params, state, noisy, train=False)
+    out = spiking_fullsubnet_apply(
+        replace(cfg, scan_mode="stream"), params, state, noisy, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["enhanced_y"]), np.asarray(ref["enhanced_y"]), atol=3e-6)
+    for alo1, alo2 in zip(out["sb_all_layer_outputs"], ref["sb_all_layer_outputs"]):
+        for x1, x2 in zip(alo1, alo2):
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-9)
+
+    reft = spiking_fullsubnet_apply(cfg, params, state, noisy, train=True)
+    outt = spiking_fullsubnet_apply(
+        replace(cfg, scan_mode="stream"), params, state, noisy, train=True)
+    np.testing.assert_allclose(
+        np.asarray(outt["enhanced_y"]), np.asarray(reft["enhanced_y"]), atol=3e-6)
+    for a, b in zip(jax.tree.leaves(outt["state"]), jax.tree.leaves(reft["state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_stream_supported_accepts_zoo_configs():
+    """The imported competition checkpoints' exact configs (shipped TOMLs:
+    offline_laplace_norm; retraining recipe: cumulative) pass the stream
+    gate — the only weights with leaderboard-verified quality no longer
+    serve on the slowest path (VERDICT r4 weak #3)."""
+    import tomllib
+    from pathlib import Path
+
+    from spiking_fullsubnet_tpu.models.spiking_fullsubnet import separator_config
+    from spiking_fullsubnet_tpu.models.stream_forward import stream_supported
+
+    shipped = Path("/root/reference/model_zoo/intel_ndns/spike_fsb/baseline_m/baseline_m.toml")
+    if shipped.exists():
+        margs = tomllib.loads(shipped.read_text())["model_g"]["args"]
+        assert stream_supported(separator_config(**margs))
+    for norm in ("offline_laplace_norm", "cumulative_laplace_norm"):
+        assert stream_supported(_zoo_like_cfg(norm))
+    # norm + pre-LN combined is NOT hoistable in one scale -> layered
+    bad = replace(_zoo_like_cfg("offline_laplace_norm"), use_pre_layer_norm_sb=True)
+    assert not stream_supported(bad)

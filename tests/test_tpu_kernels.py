@@ -190,3 +190,35 @@ def test_stream_path_compiled_parity():
     """
     out = _run_child(code)
     assert "STREAM_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_merged_sections_kernel_compiled_parity():
+    """The serving configuration (collect_layer_outputs=False -> the
+    merged-sections kernel with in-kernel gates, projection AND deep
+    filter) vs the per-section kernel path, compiled on hardware at full
+    flagship-M size, f32 highest precision."""
+    code = """
+    import numpy as np, jax, jax.numpy as jnp
+    from dataclasses import replace
+    from spiking_fullsubnet_tpu.runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from spiking_fullsubnet_tpu.models.presets import flagship_m
+
+    b = flagship_m(scan_mode="stream", collect_layer_outputs=False)
+    cfg, apply_fn = b["config"], b["apply"]
+    params, state = b["params"], b["state"]
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((4, 32000), dtype=np.float32) * 0.1)
+    cfg_ref = replace(cfg, collect_layer_outputs=True)  # per-section kernels
+    with jax.default_matmul_precision("highest"):
+        ref = jax.jit(lambda p, s, n: apply_fn(cfg_ref, p, s, n, train=False)[
+            "enhanced_y"])(params, state, noisy)
+        got = jax.jit(lambda p, s, n: apply_fn(cfg, p, s, n, train=False)[
+            "enhanced_y"])(params, state, noisy)
+    ref, got = np.asarray(ref), np.asarray(got)
+    rel = np.linalg.norm(ref - got) / (np.linalg.norm(ref) + 1e-12)
+    assert rel < 1e-4, rel
+    print("MERGED_OK", rel)
+    """
+    out = _run_child(code)
+    assert "MERGED_OK" in out.stdout, out.stdout + out.stderr

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--scan-mode", default="auto")
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--serving", action="store_true",
+                    help="bench serving config: collect_layer_outputs=False "
+                    "(enables the merged-sections kernel path)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +55,7 @@ def main():
     bundle = _flagship_bundle(
         scan_mode=args.scan_mode,
         compute_dtype=None if args.compute_dtype == "none" else args.compute_dtype,
+        collect_layer_outputs=not args.serving,
     )
     cfg, apply_fn = bundle["config"], bundle["apply"]
     params, state = bundle["params"], bundle["state"]
@@ -59,7 +63,13 @@ def main():
     noisy = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (args.batch, int(args.seconds * sr))).astype(np.float32) * 0.1)
-    clean = noisy * 0.5
+
+    tb = args.train_batch or args.batch
+    tsec = args.train_seconds or args.seconds
+    t_noisy = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (tb, int(tsec * sr))).astype(np.float32) * 0.1)
+    t_clean = t_noisy * 0.5
 
     fwd = jax.jit(lambda p, s, n: apply_fn(cfg, p, s, n, train=False)["enhanced_y"])
 
@@ -78,10 +88,10 @@ def main():
           f"{analytic.flops_per_audio_second() / 1e9:.3f} GFLOP / audio-second "
           f"({analytic.flops_per_audio_second() * audio_seconds / 1e9:.2f} GFLOP this run)")
 
-    for name, fn, fargs in (
-        ("forward", fwd, (params, state, noisy)),
-        ("train_step", step, (params, state, noisy, clean)),
-    ):
+    targets = [("forward", fwd, (params, state, noisy))]
+    if not args.skip_train:
+        targets.append(("train_step", step, (params, state, t_noisy, t_clean)))
+    for name, fn, fargs in targets:
         lowered = fn.lower(*fargs)
         compiled = lowered.compile()
         cost = compiled.cost_analysis()

@@ -75,6 +75,49 @@ def main():
     dt = time_fn_per_iter(enhance, (params, state, noisy), iters=(1, 3), reps=3)
     enhance_tput = batch * seconds / dt
 
+    # ---- the PUBLISHED competition checkpoint on the same fast path ----
+    # The zoo M weights (shipped config: offline_laplace_norm, no pre-LN)
+    # serve on the SAME stream/merged path — the input norms are per-unit
+    # scalar streams that commute through the hoisted layer-0 matmuls
+    # (VERDICT r4 #2: the only weights with leaderboard-verified quality
+    # previously ran on the slowest layered path, unbenchmarked).
+    zoo_tput = None
+    try:
+        import tomllib
+        from pathlib import Path
+
+        from spiking_fullsubnet_tpu.models.spiking_fullsubnet import (
+            separator_config, spiking_fullsubnet_init)
+        from spiking_fullsubnet_tpu.runtime.convert import load_npz
+
+        zdir = Path(__file__).parent / "model_zoo" / "intel_ndns" / "spike_fsb"
+        shipped = Path("/root/reference/model_zoo/intel_ndns/spike_fsb/"
+                       "baseline_m/baseline_m.toml")
+        if (zdir / "baseline_m.npz").exists():
+            if shipped.exists():
+                margs = tomllib.loads(shipped.read_text())["model_g"]["args"]
+                zcfg = separator_config(**margs)
+            else:
+                zcfg = separator_config(norm_type="offline_laplace_norm",
+                                        shared_weights=True, bn=True)
+            from dataclasses import replace as _rep
+
+            zcfg = _rep(zcfg, scan_mode="auto", compute_dtype="bfloat16",
+                        collect_layer_outputs=False)
+            tpl = spiking_fullsubnet_init(jax.random.PRNGKey(0), zcfg)
+            rest = load_npz(str(zdir / "baseline_m.npz"),
+                            {"params": tpl[0], "state": tpl[1]})
+
+            def z_enhance(p, s, n):
+                return apply_fn(zcfg, p, s, n, train=False)["enhanced_y"]
+
+            dtz = time_fn_per_iter(
+                z_enhance, (rest["params"], rest["state"], noisy),
+                iters=(1, 3), reps=3)
+            zoo_tput = batch * seconds / dtz
+    except Exception as e:  # noqa: BLE001 — zoo bench is auxiliary
+        print(f"# zoo bench skipped: {type(e).__name__}: {e}", flush=True)
+
     # ---- breakdown: Pallas kernels standalone (sequential floor) ----
     # The serving path runs TWO launches: the fullband stack kernel and the
     # merged-sections kernel (layer-0 gates + all sub-band stacks + output
@@ -155,49 +198,10 @@ def main():
         sections_kernel_s = time_fn_per_iter(
             sections_kernel, (xa, xbv, alpha, beta, wts), iters=(1, 3), reps=3)
         kernel_s = fb_kernel_s + sections_kernel_s
-
-    # ---- the PUBLISHED competition checkpoint on the same fast path ----
-    # The zoo M weights (shipped config: offline_laplace_norm, no pre-LN)
-    # serve on the SAME stream/merged path — the input norms are per-unit
-    # scalar streams that commute through the hoisted layer-0 matmuls
-    # (VERDICT r4 #2: the only weights with leaderboard-verified quality
-    # previously ran on the slowest layered path, unbenchmarked).
-    zoo_tput = None
-    try:
-        import tomllib
-        from pathlib import Path
-
-        from spiking_fullsubnet_tpu.models.spiking_fullsubnet import (
-            separator_config, spiking_fullsubnet_init)
-        from spiking_fullsubnet_tpu.runtime.convert import load_npz
-
-        zdir = Path(__file__).parent / "model_zoo" / "intel_ndns" / "spike_fsb"
-        shipped = Path("/root/reference/model_zoo/intel_ndns/spike_fsb/"
-                       "baseline_m/baseline_m.toml")
-        if (zdir / "baseline_m.npz").exists():
-            if shipped.exists():
-                margs = tomllib.loads(shipped.read_text())["model_g"]["args"]
-                zcfg = separator_config(**margs)
-            else:
-                zcfg = separator_config(norm_type="offline_laplace_norm",
-                                        shared_weights=True, bn=True)
-            from dataclasses import replace as _rep
-
-            zcfg = _rep(zcfg, scan_mode="auto", compute_dtype="bfloat16",
-                        collect_layer_outputs=False)
-            tpl = spiking_fullsubnet_init(jax.random.PRNGKey(0), zcfg)
-            rest = load_npz(str(zdir / "baseline_m.npz"),
-                            {"params": tpl[0], "state": tpl[1]})
-
-            def z_enhance(p, s, n):
-                return apply_fn(zcfg, p, s, n, train=False)["enhanced_y"]
-
-            dtz = time_fn_per_iter(
-                z_enhance, (rest["params"], rest["state"], noisy),
-                iters=(1, 3), reps=3)
-            zoo_tput = batch * seconds / dtz
-    except Exception as e:  # noqa: BLE001 — zoo bench is auxiliary
-        print(f"# zoo bench skipped: {type(e).__name__}: {e}", flush=True)
+        # free the multi-GB microbench streams: leaving them alive pushes
+        # the HBM allocator into defrag thrash for the measurements below
+        # (the zoo path measured 4x slower with them resident)
+        del xa, xbv, alpha, beta, wts, wa_l, wb_l, sec_spec, xg_fb
 
     # ---- breakdown: DSP (stft + magnitude + istft) standalone ----
     def dsp_pass(y):
@@ -211,7 +215,40 @@ def main():
         return mag.astype(jnp.bfloat16), wave
 
     dsp_s = time_fn_per_iter(dsp_pass, (noisy,), iters=(1, 5), reps=3)
-    glue_s = max(dt - kernel_s - dsp_s, 0.0)
+
+    # glue of the TWO-LAUNCH (zoo) path: its batch minus its kernels & DSP
+    # (the monolith headline has no glue by construction — batch IS kernel)
+    glue_s = max((dtz if zoo_tput else dt) - kernel_s - dsp_s, 0.0)
+
+    # ---- in-kernel MXU accounting for the monolith serving launch ----
+    # The headline path is ONE kernel containing the whole model, so the
+    # old kernel-vs-glue split collapses: report the kernel's achieved
+    # matmul rate against the bf16 peak instead. padded_flops counts the
+    # matmuls the MXU actually executes (lane padding 224->256, 320->384,
+    # DFT width 384); the gap between kernel_mxu_fraction and 1.0 is lane
+    # padding + the per-step VPU-serial gate/DF math of a strict recurrence.
+    def _padded_flops_per_frame_row(c):
+        hp = -(-c.sb_hidden_size // 128) * 128
+        g = hp * (1 if c.shared_weights else 2)
+        hpf = -(-c.fb_hidden_size // 128) * 128
+        gf = hpf * (1 if c.shared_weights else 2)
+        fp = -(-(c.num_freqs + 1) // 128) * 128
+        fbp = -(-c.fb_proj_size // 128) * 128
+        f = 4 * 2 * c.n_fft * fp  # stft + istft: 4 dots of [n_fft, Fp]
+        f += 2 * 128 * gf + (c.fb_num_layers - 1) * 2 * hpf * gf \
+            + c.fb_num_layers * 2 * hpf * gf + 2 * hpf * fbp
+        for i in range(c.num_sections):
+            n = (c.freq_cutoffs[i + 1] - c.freq_cutoffs[i]) // c.center_freq_sizes[i]
+            p_pad = -(-2 * c.df_orders[i] * c.center_freq_sizes[i] // 128) * 128
+            aw = 128 if i == 0 else 256  # narrowed window (flagship spans)
+            per_unit = (2 * aw * g + 2 * fbp * g
+                        + (c.sb_num_layers - 1) * 2 * hp * g
+                        + c.sb_num_layers * 2 * hp * g + 2 * hp * p_pad)
+            f += n * per_unit
+        return f
+
+    padded_tf = _padded_flops_per_frame_row(cfg) * Tp * batch / 1e12
+    kernel_tflops_per_s = padded_tf / dt if dt else None
 
     # ---- training throughput ----
     tb, tsec = 64, 6.0
@@ -228,6 +265,7 @@ def main():
 
     dt_train = time_fn_per_iter(train_step, (params, state, t_noisy, t_clean), iters=(1, 5), reps=3)
     train_tput = tb * tsec / dt_train
+    del t_noisy, t_clean
 
     # ---- streaming per-hop latency, batch 1 (serving mode) ----
     from spiking_fullsubnet_tpu.streaming import StreamingEnhancer
@@ -260,22 +298,25 @@ def main():
                 "roofline_audio_s_per_s": round(roof["roofline_audio_s_per_s"], 0),
                 "model_gflops_per_audio_second": round(roof["model_gflops_per_audio_second"], 3),
                 "batch_ms": round(dt * 1e3, 2),
-                # the serving path's TWO kernel launches, standalone at the
-                # exact serving shapes: the merged-sections kernel now
-                # contains the layer-0 gates, all sub-band stacks, the
-                # output projection AND the deep filter (formerly "glue")
+                # the headline path is the whole-model MONOLITH launch
+                # (STFT+stacks+DF+iSTFT in one kernel) — batch_ms IS kernel
+                # time plus ~1 ms of chunk reshapes. Its achieved matmul
+                # rate (padded-flop basis) against the 197 TF/s bf16 peak:
+                "kernel_padded_tflops": round(padded_tf, 2),
+                "kernel_achieved_tflops_per_s": round(kernel_tflops_per_s, 1),
+                "kernel_mxu_fraction": round(kernel_tflops_per_s / 197.0, 3),
+                # the TWO-LAUNCH serving kernels (used by the zoo config,
+                # whose offline norm is anti-causal), standalone at the same
+                # shapes, and the zoo path's decomposition around them
                 "recurrent_kernel_ms": round(kernel_s * 1e3, 2),
                 "fb_kernel_ms": round(fb_kernel_s * 1e3, 2) if kernel_s else None,
                 "sections_kernel_ms": round(sections_kernel_s * 1e3, 2) if kernel_s else None,
                 "dsp_ms": round(dsp_s * 1e3, 2),
                 "glue_ms": round(glue_s * 1e3, 2),
-                # throughput if ONLY the sequential recurrence existed — the
-                # honest ceiling of this architecture on one core; the
-                # roofline above assumes perfectly parallel FLOPs
                 "kernel_floor_audio_s_per_s": round(audio_s / kernel_s, 0) if kernel_s else None,
                 "kernel_floor_fraction": round((audio_s / kernel_s) / roof["roofline_audio_s_per_s"], 3) if kernel_s else None,
                 # the imported competition checkpoint (shipped config:
-                # offline_laplace_norm) on the same serving fast path
+                # offline_laplace_norm -> two-launch path) serving fast
                 "zoo_m_audio_s_per_s": round(zoo_tput, 2) if zoo_tput else None,
                 "train_audio_s_per_s": round(train_tput, 2),
                 "streaming_ms_per_hop_b1": round(ms_per_hop, 3),

@@ -40,16 +40,25 @@ allclose in f64 vs the layered path (tests/test_stream_forward.py),
 quality-parity in f32/bf16 on the competition checkpoints. Reference call
 graph: modeling_spiking_fullsubnet.py:415-474.
 
-Round-5 serving configuration (eval + collect_layer_outputs=False + identity
-output activations): ALL sub-band sections run as ONE Pallas launch
-(ops/gsu_pallas.gsu_sections_eval_pallas) that computes the per-unit layer-0
-gates from the shared magnitude/fullband streams IN-KERNEL (normalizations
-reduced to per-unit scalar streams alpha/beta), batches each section's
-stack matmuls over its units' rows, applies the output projection, and runs
-the deep filter against a VMEM ring of the last df noisy-spectrum frames —
-emitting the enhanced spectrum slabs directly. The xg0 gate streams, spike
-streams, and DF coefficient tensors never reach HBM (XLA measured the old
-formulation at 88.9 GB accessed per serving batch; this one is ~34 GB).
+Round-5 serving configurations (eval + collect_layer_outputs=False +
+identity output activations), in order of preference:
+
+1. MONOLITH (_serve_monolith -> ops/gsu_pallas.sfsb_monolith_serve_pallas):
+   the ENTIRE model is one Pallas launch — in-kernel STFT from an audio hop
+   ring, per-frame normalization statistics (pre-LN fold / cumulative
+   running sum), fullband stack, per-unit layer-0 gates, section-batched
+   sub-band stacks, output projection, deep filter against a noisy-spectrum
+   ring, and the inverse DFT + overlap-add ring. HBM sees audio in, audio
+   out, and weights (XLA: ~1 GB accessed per serving batch vs 88.9 GB for
+   the round-4 formulation; 92 ms / 82k audio-s/s at batch 256 x 30 s).
+   Requires causal statistics — offline_laplace_norm falls through to:
+
+2. TWO-LAUNCH (gsu_sections_eval_pallas with in-kernel DF): fullband stack
+   kernel + one merged-sections kernel computing the layer-0 gates from the
+   magnitude/fullband streams, the stacks, projection and deep filter; the
+   normalization scalars (any mode, including offline) stream in as
+   alpha/beta. Used by the imported competition checkpoints (shipped
+   configs use offline_laplace_norm).
 
 Training and the synops-collecting eval use the per-section kernels below;
 the multi-chip eval path keeps the fused scan (band/data sharding) — this
@@ -247,6 +256,116 @@ def _stack_train_xg(params, state, xg0, hidden: int, shared: bool,
     return spikes_list, {"layers": new_layers}
 
 
+def _serve_monolith(cfg, params, state, noisy_y, m_spec, norm_mode, U, T, Tp,
+                    fb_params, compute_dtype):
+    """Whole-model single-launch serving (see _monolith_kernel): builds the
+    stats columns, fullband fold, and hop chunks, runs the kernel, and
+    overlap-trims + COLA-edge-fixes the audio. enhanced_mag and the synops
+    tensors are not materialized on this path (collect_layer_outputs=False
+    serving only)."""
+    B, seq_len = noisy_y.shape
+    H_sb, H_fb = cfg.sb_hidden_size, cfg.fb_hidden_size
+    shared = cfg.shared_weights
+    full_f = cfg.num_freqs
+    Fp = _round_up(full_f + 1, 128)
+    fbp = _round_up(cfg.fb_proj_size, 128)
+    _, g_fb, off_c_fb = _gate_layout(H_fb, shared, True)
+    fb_ln = bool(cfg.use_pre_layer_norm_fb)
+
+    if norm_mode == "raw":
+        sel_mag = sel_fb = None
+    else:
+        up = _round_up(U + 1, 8)
+        sel_mag = np.zeros((Fp, up), np.float32)
+        sel_fb = np.zeros((fbp, up), np.float32)
+        u0 = 0
+        for (cols_m, cols_f, w_tot_s, _), geo in zip(m_spec["sel"], m_spec["geom"]):
+            n_s = geo[0]
+            sel_mag[:full_f, u0:u0 + n_s] = cols_m / w_tot_s
+            sel_fb[:cols_f.shape[0], u0:u0 + n_s] = cols_f / w_tot_s
+            u0 += n_s
+        # column U: the fullband input's own statistics (mean over its bins)
+        sel_mag[:cfg.fb_input_size, U] = 1.0 / cfg.fb_input_size
+
+    if fb_ln:
+        wn_fb, _, u_fb, v_fb = _fold_ln_weights(
+            fb_params, cfg.fb_input_size, H_fb, shared, g_fb, off_c_fb,
+            compute_dtype)
+        fb_uv = (u_fb, v_fb)
+    else:
+        w_ih0 = fb_params["stack"]["layers"][0]["weight_ih"].astype(compute_dtype)
+        wn_fb = _place_cols(w_ih0.T, H_fb, shared, g_fb, off_c_fb)
+        fb_uv = None
+    fb_wa = jnp.pad(wn_fb, ((0, 128 - wn_fb.shape[0]), (0, 0)))
+
+    hop = cfg.hop_length
+    half = cfg.n_fft // 2
+    M = Tp + 3
+    y_pad = jnp.pad(noisy_y, ((0, 0), (half, 0)))
+    need = M * hop
+    y_pad = jnp.pad(y_pad, ((0, 0), (0, max(need - y_pad.shape[1], 0))))[:, :need]
+    chunks = jnp.swapaxes(y_pad.reshape(B, M, hop), 0, 1)
+    if cfg.compute_dtype:
+        chunks = chunks.astype(compute_dtype)
+
+    sec_geom = [(g[1], g[2]) for g in m_spec["geom"]]
+    sec_f0 = [g[3] for g in m_spec["geom"]]
+    spans = [
+        sp if sp[0] + sp[1] <= _round_up(full_f, 128)
+        else (0, _round_up(full_f, 128))
+        for sp in m_spec["span"]
+    ]
+    out = gsu_pallas.sfsb_monolith_serve_pallas(
+        chunks, fb_params["stack"], state["fb"]["stack"], fb_wa, fb_uv,
+        fb_params["proj"]["weight"], fb_params["proj"]["bias"],
+        m_spec["p"], m_spec["s"], m_spec["wa"], m_spec["wb"], m_spec["uv"],
+        m_spec["wp"], m_spec["bp"], sec_geom, spans, sec_f0,
+        sel_mag, sel_fb, norm_mode, fb_ln,
+        H_sb, H_fb, shared, cfg.n_fft, hop, Tp, EPSILON, t_real=T)
+
+    audio = jnp.swapaxes(out, 0, 1).reshape(B, Tp * hop)
+    enhanced = audio[:, half: half + seq_len]
+    # COLA start-edge correction (the constant 3/2 is folded into the
+    # inverse-DFT matrices; only the first n_fft-hop samples of the padded
+    # timeline deviate, of which edge-half land in the trimmed output)
+    edge = cfg.n_fft - hop
+    w2 = np.square(
+        0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(cfg.n_fft) / cfg.n_fft)))
+    env = np.zeros(edge + cfg.n_fft)
+    for k in range(4):
+        env[k * hop:k * hop + cfg.n_fft] += w2
+    nfix = min(edge - half, seq_len)
+    if nfix > 0:
+        fix = (1.5 / np.maximum(env[half:half + nfix], 1e-11)).astype(np.float32)
+        enhanced = jnp.concatenate(
+            [enhanced[:, :nfix] * jnp.asarray(fix)[None, :],
+             enhanced[:, nfix:]], axis=1)
+    # END edge: the reference iSTFT uses exactly T frames, whose OLA
+    # envelope decays over the last n_fft-hop samples. The monolith's tail
+    # frames (t >= T, zero audio) contribute zero SIGNAL but the folded
+    # constant assumed their window share — rescale by c0/env_T there.
+    t_full_T = cfg.n_fft + hop * (T - 1)
+    j_lo = max(t_full_T - edge - half, nfix)
+    if j_lo < seq_len:
+        ps = np.arange(half + j_lo, half + seq_len)
+        env_e = np.zeros(len(ps))
+        for k in range(max(T - 4, 0), T):
+            off = ps - k * hop
+            msk = (off >= 0) & (off < cfg.n_fft)
+            env_e[msk] += w2[off[msk]]
+        fix_e = (1.5 / np.maximum(env_e, 1e-11)).astype(np.float32)
+        enhanced = jnp.concatenate(
+            [enhanced[:, :j_lo],
+             enhanced[:, j_lo:] * jnp.asarray(fix_e)[None, :]], axis=1)
+    return {
+        "enhanced_y": enhanced,
+        "enhanced_mag": None,  # not materialized on the monolith path
+        "fb_all_layer_outputs": [],
+        "sb_all_layer_outputs": [],
+        "state": state,
+    }
+
+
 def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
                                       train: bool = False):
     """Forward in stream layout. Same output dict as the layered path.
@@ -403,7 +522,7 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
                 for i in range(cfg.num_sections))
     )
     m_spec: Dict[str, List[Any]] = {k: [] for k in (
-        "p", "s", "wa", "wb", "uv", "wp", "bp", "sel", "geom")}
+        "p", "s", "wa", "wb", "uv", "wp", "bp", "sel", "span", "geom")}
 
     for i in range(cfg.num_sections):
         scfg = sb_cfgs[i]
@@ -489,6 +608,8 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
             m_spec["bp"].append(b_proj)
             m_spec["sel"].append((oh_nf.sum(axis=1).T, oh_f.sum(axis=1).T,
                                   w_tot, norm_mode))
+            a0 = (a // 128) * 128
+            m_spec["span"].append((a0, _round_up(b - a0, 128)))
             m_spec["geom"].append((n, ctr, df, num_filtered))
             num_filtered += n * ctr
             continue
@@ -612,8 +733,32 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
 
     if merged:
         U = sum(geo[0] for geo in m_spec["geom"])
-        up = _round_up(U, 8)
         norm_mode = m_spec["sel"][0][3]  # uniform across sections
+
+        # ---- whole-model MONOLITH launch (audio in -> audio out) ----
+        # One kernel runs STFT, normalization statistics, fullband stack,
+        # sub-band stacks, deep filter and iSTFT; HBM sees only audio and
+        # weights. Causality requirement: "ln" stats are per-frame and
+        # "cum" is a running sum (carried in scratch); offline_laplace_norm
+        # needs the full sequence and stays on the two-launch path below.
+        monolith_ok = (
+            norm_mode in ("ln", "cum", "raw")
+            and cfg.fdrc == 0.5
+            and cfg.win_length == cfg.n_fft
+            and cfg.n_fft == 4 * cfg.hop_length
+            and Tp >= T + 3  # tail frames cover the COLA end edge
+            and (norm_mode != "ln" or cfg.use_pre_layer_norm_fb)
+            and (norm_mode == "ln" or not cfg.use_pre_layer_norm_fb)
+            and ((norm_mode == "ln") == cfg.use_pre_layer_norm_sb)
+            and not fb_cfg.output_activate_function
+            and _DEBUG_STAGE is None
+        )
+        if monolith_ok:
+            return _serve_monolith(
+                cfg, params, state, noisy_y, m_spec, norm_mode, U, T, Tp,
+                fb_params, compute_dtype)
+
+        up = _round_up(U, 8)
         if norm_mode == "raw":
             alpha_all = beta_all = None
         else:
@@ -673,11 +818,15 @@ def spiking_fullsubnet_stream_forward(cfg, params, state, noisy_y: Array,
             w = n * ctr
             sec_spec.append((re_t[:, :, f0: f0 + w], im_t[:, :, f0: f0 + w]))
             sec_geom.append((ctr, df))
+        spans = [
+            sp if sp[0] + sp[1] <= _round_up(full_f, 128) else None
+            for sp in m_spec["span"]
+        ]
         outs = gsu_pallas.gsu_sections_eval_pallas(
             m_spec["p"], m_spec["s"], m_spec["wa"], m_spec["wb"],
             m_spec["uv"], m_spec["wp"], m_spec["bp"],
             mag_t, xb, alpha_all, beta_all, H_sb, shared,
-            sec_spec=sec_spec, sec_geom=sec_geom)
+            sec_spec=sec_spec, sec_geom=sec_geom, sec_span=spans)
         for (er, ei) in outs:
             enh_re.append(er[:T])
             enh_im.append(ei[:T])

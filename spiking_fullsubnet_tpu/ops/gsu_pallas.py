@@ -43,6 +43,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1359,6 +1360,9 @@ def gsu_sections_eval_pallas(
     t_blk: Optional[int] = None,
     sec_spec=None,    # list of (re [T,B,w_i], im [T,B,w_i]) f32 -> DF in-kernel
     sec_geom=None,    # list of (ctr_i, df_i), required with sec_spec
+    sec_span=None,    # list of (a0_i, aw_i) 128-aligned xa windows or None:
+                      # narrows each section's layer-0 dot to the lanes its
+                      # scatter weights actually read (zero elsewhere)
 ):
     """Fused multi-section stack eval — the serving path's single launch.
 
@@ -1423,9 +1427,11 @@ def gsu_sections_eval_pallas(
     for s in range(n_sec):
         n = int(sec_wa[s].shape[0])
         wa = sec_wa[s]
-        # (hook for narrowing the per-section xa window to a 128-aligned
-        # span; full width for now — the layer-0 dot is a minor flop term)
-        a0, aw = 0, Fa
+        a0, aw = (sec_span[s] if sec_span and sec_span[s] else (0, Fa))
+        if a0 % 128 or aw % 128 or a0 + aw > Fa:
+            raise ValueError(f"sec_span[{s}]=({a0},{aw}) not 128-aligned in Fa={Fa}")
+        if (a0, aw) != (0, Fa):
+            wa = wa[:, a0:a0 + aw]
         sc = {"n": n, "a0": a0, "aw": aw, "ln": sec_uv[s] is not None}
         if df_mode:
             sc["ctr"], sc["df"] = sec_geom[s]
@@ -1530,7 +1536,7 @@ def gsu_sections_eval_pallas(
             arrays.append(arr.astype(jnp.float32))
     for s in range(n_sec):
         n = sec_cfgs[s]["n"]
-        specs = [pl.BlockSpec((n, Fa, g), lambda bi, ti: (0, 0, 0),
+        specs = [pl.BlockSpec((n, sec_cfgs[s]["aw"], g), lambda bi, ti: (0, 0, 0),
                               memory_space=pltpu.VMEM)]
         if has_xb:
             specs.append(pl.BlockSpec((n, Fb, g), lambda bi, ti: (0, 0, 0),
@@ -1612,6 +1618,512 @@ def gsu_sections_eval_pallas(
     if B_real != B:
         outs = [o[:, :, :B_real] for o in outs]
     return list(outs)
+
+
+# --------------------------------------- whole-model monolith serve kernel
+
+
+def _monolith_kernel(*refs, mono):
+    """THE WHOLE SERVING MODEL per timestep, VMEM-resident end to end.
+
+    Extends the sections kernel (same per-section step math — keep the two
+    in sync) with everything that still surrounded it:
+
+        audio hop ring -> windowed DFT (STFT)        [MXU]
+        magnitude + normalization statistics         [VPU + small dots]
+        fullband GSU stack + projection              [MXU]
+        per-unit layer-0 gates -> sub-band stacks    [MXU]
+        output projection -> deep-filter taps        [MXU]
+        deep filter vs noisy-spectrum ring           [VPU]
+        spectrum assembly -> inverse DFT -> OLA ring [MXU]
+        -> enhanced audio hop chunks                 [HBM out]
+
+    HBM traffic per batch is audio in + audio out + weights (~1 GB at
+    serving shapes, vs 34 GB for the two-launch formulation and 88.9 GB
+    before round 5). Normalizations: "ln" (pre-LN fold; per-frame stats
+    computed in-kernel), "cum" (cumulative laplace — a running sum carried
+    in scratch), "raw". offline_laplace_norm needs full-sequence statistics
+    (anti-causal) and stays on the two-launch path.
+    """
+    m = mono
+    ti = pl.program_id(1)
+    io_dtype = jnp.dtype(m["io"])
+    hp, g, L, shared, t_blk = m["hp"], m["g"], m["L"], m["shared"], m["t_blk"]
+    hp_fb, g_fb, L_fb = m["hp_fb"], m["g_fb"], m["L_fb"]
+    norm = m["norm"]
+    U, up = m["U"], m["up"]
+    hop, Fp = m["hop"], m["Fp"]
+    n_sec = len(m["secs"])
+
+    n_scr = 6 + 2 * n_sec + (1 if norm == "cum" else 0)
+    refs, scr = list(refs[:-n_scr]), list(refs[-n_scr:])
+    h_scr, c_scr, fbh, fbc, ch_ring, ola = scr[:6]
+    rings = scr[6:6 + 2 * n_sec]
+    cum_scr = scr[-1] if norm == "cum" else None
+
+    it = iter(refs)
+    chunks_ref = next(it)
+    init_ref = next(it)
+    wcos = next(it)
+    wmsin = next(it)
+    ia = next(it)
+    ib = next(it)
+    if norm != "raw":
+        sel_mag = next(it)
+        sel_fb = next(it)
+    wa_fb = next(it)
+    uv_fb = next(it) if m["fb_ln"] else None
+    wihr_fb = next(it)
+    whh_fb = next(it)
+    coef_fb = next(it)
+    wproj_fb = next(it)
+    bproj_fb = next(it)
+    secs = []
+    for sc in m["secs"]:
+        secs.append((sc, next(it), next(it),
+                     next(it) if sc["ln"] else None,
+                     next(it), next(it), next(it), next(it), next(it)))
+    rest = list(it)
+    out_ref = rest[0]
+    b_blk = out_ref.shape[1]
+
+    @pl.when(ti == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        fbh[:] = jnp.zeros_like(fbh)
+        fbc[:] = jnp.zeros_like(fbc)
+        ola[:] = jnp.zeros_like(ola)
+        for ring in rings:
+            ring[:] = jnp.zeros_like(ring)
+        for k in range(3):
+            ch_ring[k] = init_ref[k]
+        if cum_scr is not None:
+            cum_scr[:] = jnp.zeros_like(cum_scr)
+
+    def body(i, _):
+        gt = ti * t_blk + i
+        # ---- STFT: hop ring -> frame -> windowed DFT ----
+        cur = chunks_ref[i]  # [b_blk, hop] io
+        frame = jnp.concatenate(
+            [ch_ring[0], ch_ring[1], ch_ring[2], cur], axis=1)  # [b_blk, 4*hop]
+        re = jnp.dot(frame, wcos[:, :], preferred_element_type=jnp.float32)
+        imt = jnp.dot(frame, wmsin[:, :], preferred_element_type=jnp.float32)
+        ch_ring[0] = ch_ring[1]
+        ch_ring[1] = ch_ring[2]
+        ch_ring[2] = cur
+        mag = jnp.sqrt(jnp.sqrt(re * re + imt * imt))  # fdrc = 0.5
+        mag_io = mag.astype(io_dtype)
+
+        # ---- normalization statistics (magnitude part) ----
+        s1m = s2m = None
+        if norm != "raw":
+            s1m = jnp.dot(mag, sel_mag[:, :], preferred_element_type=jnp.float32)
+            if norm == "ln":
+                s2m = jnp.dot(mag * mag, sel_mag[:, :],
+                              preferred_element_type=jnp.float32)
+
+        # ---- fullband stack (pre-LN fold / cum scale on its own column U) ----
+        xgf = jnp.dot(mag_io[:, :wa_fb.shape[0]], wa_fb[:, :],
+                      preferred_element_type=jnp.float32)
+        if m["fb_ln"]:
+            mu_f = s1m[:, U:U + 1]
+            var_f = s2m[:, U:U + 1] - mu_f * mu_f
+            rstd_f = jax.lax.rsqrt(var_f + 1e-5)
+            xgf = rstd_f * xgf - (rstd_f * mu_f) * uv_fb[0:1, :] + uv_fb[1:2, :]
+        elif norm == "cum":
+            inv_t = 1.0 / (gt + 1).astype(jnp.float32)
+            cum_fb = cum_scr[:, U:U + 1] + s1m[:, U:U + 1]
+            xgf = xgf / (cum_fb * inv_t + m["eps"])
+        h_in = None
+        for k in range(L_fb):
+            if k > 0:
+                xgf = jnp.dot(h_in, wihr_fb[k - 1],
+                              preferred_element_type=jnp.float32)
+            h = fbh[k]
+            c = fbc[k]
+            rg = jnp.dot(h, whh_fb[k], preferred_element_type=jnp.float32)
+            pre = xgf + rg
+            b_f = coef_fb[k, 0:1, :]
+            b_c = coef_fb[k, 1:2, :]
+            scale = coef_fb[k, 2:3, :]
+            shift = coef_fb[k, 3:4, :]
+            if shared:
+                f = jax.nn.sigmoid(pre + b_f)
+                gcell = pre + b_c
+            else:
+                f = jax.nn.sigmoid(pre[:, :hp_fb] + b_f)
+                gcell = pre[:, hp_fb:] + b_c
+            cy = (f * c + (1.0 - f) * gcell) * scale + shift
+            hy = (cy >= 0.0).astype(io_dtype)
+            fbh[k] = hy
+            fbc[k] = cy
+            h_in = hy
+        fb_y = jnp.dot(h_in, wproj_fb[:, :], preferred_element_type=jnp.float32)
+        fb_y = fb_y + bproj_fb[0:1, :]
+        fb_io = fb_y.astype(io_dtype)
+
+        # ---- complete the sub-band statistics with the fullband part ----
+        alpha_vec = beta_vec = None
+        if norm == "ln":
+            s1f = jnp.dot(fb_y, sel_fb[:, :], preferred_element_type=jnp.float32)
+            s2f = jnp.dot(fb_y * fb_y, sel_fb[:, :],
+                          preferred_element_type=jnp.float32)
+            mu = s1m + s1f
+            var = (s2m + s2f) - mu * mu
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            alpha_vec, beta_vec = rstd, rstd * mu
+        elif norm == "cum":
+            s1f = jnp.dot(fb_y, sel_fb[:, :], preferred_element_type=jnp.float32)
+            cum_scr[:, :] = cum_scr[:, :] + s1m + s1f
+            inv_t = 1.0 / (gt + 1).astype(jnp.float32)
+            alpha_vec = 1.0 / (cum_scr[:, :] * inv_t + m["eps"])
+
+        # ---- sub-band sections (same math as _sections_kernel df_mode) ----
+        er_parts = []
+        ei_parts = []
+        uu = 0
+        r0 = 0
+        for s, (sc, wa, wb, uv, wihr, whh, coef, wproj, bproj) in enumerate(secs):
+            n = sc["n"]
+            a0, aw = sc["a0"], sc["aw"]
+            xa_sl = mag_io[:, a0:a0 + aw]
+            xgs = []
+            for j in range(n):
+                ck = jnp.dot(xa_sl, wa[j], preferred_element_type=jnp.float32)
+                ck = ck + jnp.dot(fb_io, wb[j], preferred_element_type=jnp.float32)
+                if alpha_vec is not None:
+                    xg_u = alpha_vec[:, uu:uu + 1] * ck
+                    if sc["ln"]:
+                        xg_u = (xg_u - beta_vec[:, uu:uu + 1] * uv[0:1, :]
+                                + uv[1:2, :])
+                else:
+                    xg_u = ck
+                xgs.append(xg_u)
+                uu += 1
+            xg = jnp.concatenate(xgs, axis=0) if n > 1 else xgs[0]
+            rows = slice(r0, r0 + n * b_blk)
+            h_in = None
+            for k in range(L):
+                if k > 0:
+                    xg = jnp.dot(h_in, wihr[k - 1],
+                                 preferred_element_type=jnp.float32)
+                h = h_scr[k, rows]
+                c = c_scr[k, rows]
+                rg = jnp.dot(h, whh[k], preferred_element_type=jnp.float32)
+                pre = xg + rg
+                b_f = coef[k, 0:1, :]
+                b_c = coef[k, 1:2, :]
+                scale = coef[k, 2:3, :]
+                shift = coef[k, 3:4, :]
+                if shared:
+                    f = jax.nn.sigmoid(pre + b_f)
+                    gcell = pre + b_c
+                else:
+                    f = jax.nn.sigmoid(pre[:, :hp] + b_f)
+                    gcell = pre[:, hp:] + b_c
+                cy = (f * c + (1.0 - f) * gcell) * scale + shift
+                hy = (cy >= 0.0).astype(io_dtype)
+                h_scr[k, rows] = hy
+                c_scr[k, rows] = cy
+                h_in = hy
+            y = jnp.dot(h_in, wproj[:, :], preferred_element_type=jnp.float32)
+            y = y + bproj[0:1, :]
+            # deep filter vs the in-register noisy spectrum
+            ctr, df = sc["ctr"], sc["df"]
+            f0, w = sc["f0"], n * sc["ctr"]
+            ring_re, ring_im = rings[2 * s], rings[2 * s + 1]
+            for d in range(df - 1, 0, -1):
+                ring_re[d] = ring_re[d - 1]
+                ring_im[d] = ring_im[d - 1]
+            ring_re[0] = re[:, f0:f0 + w]
+            ring_im[0] = imt[:, f0:f0 + w]
+            er_units = []
+            ei_units = []
+            for j in range(n):
+                rws = slice(j * b_blk, (j + 1) * b_blk)
+                er = ei = None
+                for d in range(df):
+                    # tap d pairs with frame t-(df-1-d) (oldest at tap 0)
+                    cr = y[rws, d * ctr:(d + 1) * ctr]
+                    ci = y[rws, (df + d) * ctr:(df + d + 1) * ctr]
+                    tr = ring_re[df - 1 - d][:, j * ctr:(j + 1) * ctr]
+                    tm = ring_im[df - 1 - d][:, j * ctr:(j + 1) * ctr]
+                    t_re = tr * cr - tm * ci
+                    t_im = tr * ci + tm * cr
+                    er = t_re if er is None else er + t_re
+                    ei = t_im if ei is None else ei + t_im
+                er_units.append(er)
+                ei_units.append(ei)
+            er_parts.extend(er_units)
+            ei_parts.extend(ei_units)
+            r0 += n * b_blk
+
+        # ---- spectrum assembly + inverse DFT + overlap-add ring ----
+        # lanes [full_f:Fp] of re/imt carry the noisy Nyquist bin (then the
+        # DFT matrices' zero-padded columns) — the passthrough is free
+        enh_re = jnp.concatenate(er_parts + [re[:, m["full_f"]:]], axis=1)
+        enh_im = jnp.concatenate(ei_parts + [imt[:, m["full_f"]:]], axis=1)
+        yf = (jnp.dot(enh_re.astype(io_dtype), ia[:, :],
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(enh_im.astype(io_dtype), ib[:, :],
+                        preferred_element_type=jnp.float32))
+        # frames >= the natural count do not exist in the reference iSTFT
+        # (they straddle the padded audio tail) — mask their OLA share
+        yf = jnp.where(gt < m["t_real"], yf, jnp.zeros_like(yf))
+        out = (yf[:, 0:hop] + ola[0][:, hop:2 * hop]
+               + ola[1][:, 2 * hop:3 * hop] + ola[2][:, 3 * hop:4 * hop])
+        out_ref[i] = out
+        ola[2] = ola[1]
+        ola[1] = ola[0]
+        ola[0] = yf
+        return 0
+
+    jax.lax.fori_loop(0, t_blk, body, 0)
+
+
+def sfsb_monolith_serve_pallas(
+    chunks,         # [M, B, hop] hop-chunked center-padded audio, M >= T+3
+    fb_params,      # fullband stack params {"layers": [...]} (+ fold done)
+    fb_state,
+    fb_wa,          # [128, G_fb] layer-0 weights over mag lanes (LN-folded)
+    fb_uv,          # (u, v) [G_fb] or None
+    fb_wproj,       # [fbp_real rows? [P_fb, H_fb] torch layout]
+    fb_bproj,
+    sec_params, sec_states, sec_wa, sec_wb, sec_uv, sec_wproj, sec_bproj,
+    sec_geom,       # list of (ctr, df)
+    sec_span,       # list of (a0, aw)
+    sec_f0,         # list of section start bins
+    sel_mag,        # [Fp, up] f32 scaled stats columns or None (raw)
+    sel_fb,         # [fbp, up] f32 or None
+    norm: str,      # "ln" | "cum" | "raw"
+    fb_ln: bool,
+    hidden: int, fb_hidden: int, shared: bool,
+    n_fft: int, hop_length: int, T: int,
+    eps: float,
+    t_real: Optional[int] = None,  # natural frame count (frames >= this are
+                                   # masked out of the OLA)
+    t_blk: Optional[int] = None,
+):
+    """One launch for the whole serving model: audio chunks in, enhanced
+    audio chunks out ([T, B, hop] f32; caller overlap-trims and fixes the
+    COLA edges). See _monolith_kernel."""
+    M, B, hop = chunks.shape
+    assert hop == hop_length and n_fft == 4 * hop
+    H, H_fb = hidden, fb_hidden
+    L = len(sec_params[0]["layers"])
+    L_fb = len(fb_params["layers"])
+    mixed = chunks.dtype == jnp.bfloat16
+    io_dtype = jnp.bfloat16 if mixed else jnp.float32
+    io_bytes = 2 if mixed else 4
+    hp = _round_up(H, 128)
+    g = hp if shared else 2 * hp
+    hp_fb = _round_up(H_fb, 128)
+    g_fb = hp_fb if shared else 2 * hp_fb
+    n_sec = len(sec_params)
+    U = sum(int(w.shape[0]) for w in sec_wa)
+    full_f = n_fft // 2
+    Fp = _round_up(full_f + 1, 128)
+    up = sel_mag.shape[-1] if sel_mag is not None else 0
+    fbp = int(sec_wb[0].shape[1])
+
+    B_real = B
+    if B % 8 != 0:
+        pad = _round_up(B, 8) - B
+        chunks = jnp.pad(chunks, ((0, 0), (0, pad), (0, 0)))
+        B += pad
+
+    # ---- DFT matrices, window/COLA folded (pure numpy: this runs under
+    # jit tracing, so no jnp->np conversions) ----
+    nn = np.arange(n_fft)
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * nn / n_fft))  # periodic hann
+    kk = np.arange(full_f + 1)
+    ang = 2.0 * np.pi * nn[:, None] * kk / n_fft
+    w_cos = jnp.asarray(np.cos(ang) * win[:, None], jnp.float32)
+    w_msin = jnp.asarray(-np.sin(ang) * win[:, None], jnp.float32)
+    w_cos = jnp.pad(w_cos, ((0, 0), (0, Fp - full_f - 1))).astype(io_dtype)
+    w_msin = jnp.pad(w_msin, ((0, 0), (0, Fp - full_f - 1))).astype(io_dtype)
+    c0 = 1.5  # hann, 75% overlap COLA constant (validated by caller)
+    ang_i = 2.0 * np.pi * kk[:, None] * nn / n_fft
+    w_h = np.full((full_f + 1, 1), 2.0)
+    w_h[0, 0] = 1.0
+    w_h[-1, 0] = 1.0  # Nyquist counted once (n_fft even)
+    a_m = w_h * np.cos(ang_i) / n_fft
+    b_m = -w_h * np.sin(ang_i) / n_fft
+    ia = jnp.asarray(a_m * (win[None, :] / c0), jnp.float32)
+    ib = jnp.asarray(b_m * (win[None, :] / c0), jnp.float32)
+    ia = jnp.pad(ia, ((0, Fp - full_f - 1), (0, 0))).astype(io_dtype)
+    ib = jnp.pad(ib, ((0, Fp - full_f - 1), (0, 0))).astype(io_dtype)
+
+    # ---- pack weights ----
+    def pack_stack(params, state, hp_, g_, L_):
+        wihr = jnp.zeros((max(L_ - 1, 1), hp_, g_), io_dtype)
+        whh = jnp.zeros((L_, hp_, g_), io_dtype)
+        coef = jnp.zeros((L_, 4, hp_), jnp.float32).at[:, 2, :].set(1.0)
+        Hr = params["layers"][0]["weight_hh"].shape[1]
+        for k, (lp, ls) in enumerate(zip(params["layers"], state["layers"])):
+            if k > 0:
+                wihr = wihr.at[k - 1].set(_pack_w_generic(
+                    lp["weight_ih"], Hr, hp_, g_, Hr, hp_, shared).astype(io_dtype))
+            whh = whh.at[k].set(
+                _pack_w(lp["weight_hh"], Hr, hp_, g_, shared).astype(io_dtype))
+            bias = lp["bias_ih"].astype(jnp.float32)
+            coef = coef.at[k, 0, :Hr].set(bias[:Hr]).at[k, 1, :Hr].set(bias[Hr:])
+            if "bn" in lp:
+                rv = ls["bn"]["running_var"].astype(jnp.float32)
+                rm = ls["bn"]["running_mean"].astype(jnp.float32)
+                w32 = lp["bn"]["weight"].astype(jnp.float32)
+                b32 = lp["bn"]["bias"].astype(jnp.float32)
+                scale = w32 * jax.lax.rsqrt(rv + BN_EPS)
+                coef = coef.at[k, 2, :Hr].set(scale).at[k, 3, :Hr].set(
+                    b32 - rm * scale)
+        return wihr, whh, coef
+
+    ins = []
+    in_specs = []
+
+    def add(arr, spec_shape, index_map=None):
+        ins.append(arr)
+        in_specs.append(pl.BlockSpec(
+            spec_shape, index_map or (lambda bi, ti: tuple(0 for _ in spec_shape)),
+            memory_space=pltpu.VMEM))
+
+    T_steps = T
+    # chunk stream: c[t+3] at step t; first three chunks ride the init ref
+    chunks_main = chunks[3:3 + T_steps].astype(io_dtype)
+    chunks_init = jnp.zeros((8, B, hop), io_dtype).at[:3].set(
+        chunks[:3].astype(io_dtype))
+
+    sec_cfgs = []
+    for s in range(n_sec):
+        sec_cfgs.append({
+            "n": int(sec_wa[s].shape[0]),
+            "a0": sec_span[s][0], "aw": sec_span[s][1],
+            "ln": sec_uv[s] is not None,
+            "ctr": sec_geom[s][0], "df": sec_geom[s][1],
+            "f0": sec_f0[s],
+        })
+
+    # ---- plan t_blk / b_blk ----
+    budget = vmem_capacity() // 2
+    w_fixed = (w_cos.size + w_msin.size + ia.size + ib.size) * io_bytes
+    w_fixed += sum(w.size for w in sec_wa) * io_bytes
+    w_fixed += sum(w.size for w in sec_wb) * io_bytes
+    w_fixed += (3 * n_sec + 3) * hp * g * io_bytes + 3 * hp_fb * g_fb * io_bytes
+    b_blk = B
+    while True:
+        fixed = w_fixed + (io_bytes + 4) * (L * U + L_fb) * b_blk * max(hp, hp_fb)
+        fixed += 4 * b_blk * (4 * n_fft + 4 * hop)  # ola + chunk rings
+        fixed += sum(8 * sc["df"] * b_blk * sc["n"] * sc["ctr"] for sc in sec_cfgs)
+        per_t = b_blk * (hop * io_bytes + hop * 4) * 2
+        tb = max((budget - fixed) // per_t, 0)
+        tb = min(tb, 128, T_steps)
+        tb = _divisor_at_most(T_steps, tb) if tb >= 1 else 0
+        if tb >= 1:
+            break
+        nb = _divisor_at_most_mult8(B, b_blk // 2)
+        if nb < 8 or nb == b_blk:
+            raise ValueError("monolith kernel: shape exceeds VMEM budget.")
+        b_blk = nb
+    tb = t_blk or tb
+    if T_steps % tb != 0:
+        raise ValueError(f"T={T_steps} not a multiple of t_blk={tb}")
+    grid = (B // b_blk, T_steps // tb)
+
+    add(chunks_main, (tb, b_blk, hop), lambda bi, ti: (ti, bi, 0))
+    add(chunks_init, (8, b_blk, hop), lambda bi, ti: (0, bi, 0))
+    add(w_cos, (n_fft, Fp))
+    add(w_msin, (n_fft, Fp))
+    add(ia, (Fp, n_fft))
+    add(ib, (Fp, n_fft))
+    if norm != "raw":
+        add(jnp.asarray(sel_mag, jnp.float32), (Fp, up))
+        add(jnp.asarray(sel_fb, jnp.float32), (fbp, up))
+    add(jnp.asarray(fb_wa, io_dtype), tuple(fb_wa.shape))
+    if fb_ln:
+        u_v, v_v = fb_uv
+        add(jnp.stack([u_v.astype(jnp.float32), v_v.astype(jnp.float32)]),
+            (2, g_fb))
+    wihr_f, whh_f, coef_f = pack_stack(fb_params, fb_state, hp_fb, g_fb, L_fb)
+    add(wihr_f, tuple(wihr_f.shape))
+    add(whh_f, tuple(whh_f.shape))
+    add(coef_f, tuple(coef_f.shape))
+    P_fb = int(fb_wproj.shape[0])
+    wproj_f = jnp.zeros((hp_fb, fbp), io_dtype).at[:H_fb, :P_fb].set(
+        fb_wproj.T.astype(io_dtype))
+    bproj_f = jnp.zeros((8, fbp), jnp.float32).at[:, :P_fb].set(
+        fb_bproj.astype(jnp.float32))
+    add(wproj_f, (hp_fb, fbp))
+    add(bproj_f, (8, fbp))
+    for s in range(n_sec):
+        sc = sec_cfgs[s]
+        wa = sec_wa[s]
+        if (sc["a0"], sc["aw"]) != (0, wa.shape[1]):
+            wa = wa[:, sc["a0"]:sc["a0"] + sc["aw"]]
+        if wa.shape[1] < sc["aw"]:
+            # window extends past the scatter width (small configs where
+            # full_f < the 128-aligned span) — those mag lanes are the
+            # Nyquist bin / DFT padding and must read zero weights
+            wa = jnp.pad(wa, ((0, 0), (0, sc["aw"] - wa.shape[1]), (0, 0)))
+        add(jnp.asarray(wa, io_dtype), (sc["n"], sc["aw"], g))
+        add(jnp.asarray(sec_wb[s], io_dtype), (sc["n"], fbp, g))
+        if sc["ln"]:
+            u_v, v_v = sec_uv[s]
+            add(jnp.stack([u_v.astype(jnp.float32), v_v.astype(jnp.float32)]),
+                (2, g))
+        wihr, whh, coef = pack_stack(sec_params[s], sec_states[s], hp, g, L)
+        add(wihr, tuple(wihr.shape))
+        add(whh, tuple(whh.shape))
+        add(coef, tuple(coef.shape))
+        P = int(sec_wproj[s].shape[0])
+        P_pad = _round_up(P, 128)
+        wproj = jnp.zeros((hp, P_pad), io_dtype).at[:H, :P].set(
+            sec_wproj[s].T.astype(io_dtype))
+        bproj = jnp.zeros((8, P_pad), jnp.float32).at[:, :P].set(
+            sec_bproj[s].astype(jnp.float32))
+        add(wproj, (hp, P_pad))
+        add(bproj, (8, P_pad))
+
+    out_spec = pl.BlockSpec((tb, b_blk, hop), lambda bi, ti: (ti, bi, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((T_steps, B, hop), jnp.float32)
+
+    scratch_shapes = [
+        pltpu.VMEM((L, U * b_blk, hp), io_dtype),
+        pltpu.VMEM((L, U * b_blk, hp), jnp.float32),
+        pltpu.VMEM((L_fb, b_blk, hp_fb), io_dtype),
+        pltpu.VMEM((L_fb, b_blk, hp_fb), jnp.float32),
+        pltpu.VMEM((4, b_blk, hop), io_dtype),      # chunk ring (3 used)
+        pltpu.VMEM((4, b_blk, n_fft), jnp.float32),  # OLA ring (3 used)
+    ]
+    for sc in sec_cfgs:
+        w = sc["n"] * sc["ctr"]
+        scratch_shapes.append(pltpu.VMEM((sc["df"], b_blk, w), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((sc["df"], b_blk, w), jnp.float32))
+    if norm == "cum":
+        scratch_shapes.append(pltpu.VMEM((b_blk, up), jnp.float32))
+
+    mono = {
+        "io": jnp.dtype(io_dtype).name, "hp": hp, "g": g, "L": L, "shared": shared,
+        "t_blk": tb, "hp_fb": hp_fb, "g_fb": g_fb, "L_fb": L_fb,
+        "norm": norm, "fb_ln": fb_ln, "U": U, "up": up,
+        "hop": hop, "Fp": Fp, "full_f": full_f, "secs": sec_cfgs,
+        "eps": eps, "t_real": t_real if t_real is not None else T,
+    }
+    kernel = functools.partial(_monolith_kernel, mono=mono)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else compiler_params(),
+    )(*ins)
+    if B_real != B:
+        out = out[:, :B_real]
+    return out
 
 
 def _divisor_at_most(n: int, cap: int) -> int:

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="bench serving config: collect_layer_outputs=False "
                     "(enables the merged-sections kernel path)")
+    ap.add_argument("--summary", default=None,
+                    help="write a markdown per-op table parsed from the "
+                    "captured trace (requires --trace-dir; xprof)")
     args = ap.parse_args()
 
     import jax
@@ -120,6 +123,59 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"profiler trace unavailable on this backend transport: "
                   f"{type(e).__name__}: {str(e)[:160]}")
+        if args.summary:
+            write_trace_summary(args.trace_dir, args.summary, vars(args))
+            print(f"per-op summary written to {args.summary}")
+
+
+def write_trace_summary(trace_dir: str, out_path: str, run_args: dict,
+                        top_n: int = 25) -> None:
+    """Parse the captured xplane with xprof and write a markdown per-op
+    table (self time, occurrences, measured HBM bandwidth, boundedness) —
+    the committable profile artifact."""
+    import glob
+    import json
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    out, _ = rtd.xspace_to_tool_data(files, "hlo_stats", {})
+    data = json.loads(out)
+    tbl = data[0] if isinstance(data, list) else data
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = [[c.get("v") for c in row["c"]] for row in tbl["rows"]]
+    idx = {k: cols.index(k) for k in (
+        "hlo_op_expression", "total_self_time", "occurrences", "category",
+        "measured_memory_bw", "bound_by")}
+    rows.sort(key=lambda r: -float(r[idx["total_self_time"]] or 0))
+    total_us = sum(float(r[idx["total_self_time"]] or 0) for r in rows)
+
+    lines = [
+        "# Serving-path device profile (xprof hlo_stats)",
+        "",
+        f"Run: `python tools/profile_trace.py "
+        + " ".join(f"--{k.replace('_','-')} {v}" for k, v in run_args.items()
+                   if v not in (None, False) and k not in ("summary",))
+        + "`",
+        "",
+        f"Total device self time: **{total_us/1e3:.1f} ms**",
+        "",
+        "| self ms | x | category | bound by | HBM GB/s | op |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows[:top_n]:
+        t = float(r[idx["total_self_time"]] or 0)
+        if t < 200:
+            break
+        expr = str(r[idx["hlo_op_expression"]])[:110].replace("|", "\\|")
+        lines.append(
+            f"| {t/1e3:.2f} | {r[idx['occurrences']]:.0f} "
+            f"| {r[idx['category']]} | {r[idx['bound_by']]} "
+            f"| {r[idx['measured_memory_bw']]:.0f} | `{expr}` |")
+    from pathlib import Path
+
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    Path(out_path).write_text("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -265,6 +265,15 @@ def main():
 
     dt_train = time_fn_per_iter(train_step, (params, state, t_noisy, t_clean), iters=(1, 5), reps=3)
     train_tput = tb * tsec / dt_train
+
+    # train breakdown (VERDICT r4 #6): forward-only (same train=True graph)
+    # vs the full value_and_grad step — the difference is the backward pass
+    # (reverse-time Pallas vjp kernels + transposed glue matmuls)
+    def train_fwd(params, state, n, c):
+        out = apply_fn(cfg, params, state, n, train=True)
+        return jnp.mean(jnp.abs(out["enhanced_y"] - c)), out["state"]
+
+    dt_tfwd = time_fn_per_iter(train_fwd, (params, state, t_noisy, t_clean), iters=(1, 5), reps=3)
     del t_noisy, t_clean
 
     # ---- streaming per-hop latency, batch 1 (serving mode) ----
@@ -319,6 +328,9 @@ def main():
                 # offline_laplace_norm -> two-launch path) serving fast
                 "zoo_m_audio_s_per_s": round(zoo_tput, 2) if zoo_tput else None,
                 "train_audio_s_per_s": round(train_tput, 2),
+                "train_step_ms": round(dt_train * 1e3, 2),
+                "train_fwd_ms": round(dt_tfwd * 1e3, 2),
+                "train_bwd_ms": round(max(dt_train - dt_tfwd, 0.0) * 1e3, 2),
                 "streaming_ms_per_hop_b1": round(ms_per_hop, 3),
                 "streaming_hop_budget_ms": hop_budget_ms,
                 "streaming_realtime_ok": bool(ms_per_hop < hop_budget_ms),

@@ -89,8 +89,8 @@ Array = jax.Array
 LN_EPS = 1e-5
 
 # perf-bisect escape hatch for the merged serving path (None in production;
-# "coefs"/"alpha" return intermediate stages so their XLA cost can be
-# measured in isolation)
+# "alpha" returns the stage up to the normalization streams so its XLA cost
+# can be measured in isolation; it also disables the monolith dispatch)
 _DEBUG_STAGE = None
 
 

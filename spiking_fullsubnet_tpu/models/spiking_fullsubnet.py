@@ -251,11 +251,12 @@ def spiking_fullsubnet_apply(
     scan_mode = cfg.scan_mode
     if scan_mode == "auto":
         # Measured on v5e (batch 64 train / 256 eval, 2026-08): training is
-        # fastest layered-on-Pallas-vjp-kernels; offline enhance is fastest
-        # on the STREAM path (hoisted time-parallel matmuls + recurrent-only
-        # stack kernels, models/stream_forward.py) when the config supports
-        # it, falling back to the fused single-scan forward (which also
-        # carries the multi-chip band/data sharding) and then layered.
+        # fastest on the stream path's per-layer Pallas vjp kernels; offline
+        # enhance is fastest on the STREAM path (models/stream_forward.py),
+        # which internally dispatches the serving config to the whole-model
+        # MONOLITH launch (82k audio-s/s) or the two-launch merged kernels,
+        # falling back to the fused single-scan forward (which also carries
+        # the multi-chip band/data sharding) and then layered.
         from ..ops import gsu_pallas
         from .stream_forward import stream_supported
 

@@ -118,6 +118,9 @@ def main():
             with jax.profiler.trace(args.trace_dir):
                 out = fwd(params, state, noisy)
                 _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+                if not args.skip_train:
+                    tout = step(params, state, t_noisy, t_clean)
+                    _ = np.asarray(jax.tree_util.tree_leaves(tout)[0].ravel()[:1])
             print(f"profiler trace written to {args.trace_dir} "
                   f"(view: tensorboard --logdir {args.trace_dir})")
         except Exception as e:  # noqa: BLE001
@@ -138,8 +141,12 @@ def write_trace_summary(trace_dir: str, out_path: str, run_args: dict,
 
     from xprof.convert import raw_to_tool_data as rtd
 
-    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    # one capture session only — multiple xplane files make the converter
+    # return None; take the newest session dir
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))[-1:]
     out, _ = rtd.xspace_to_tool_data(files, "hlo_stats", {})
+    if out is None:
+        raise RuntimeError("xprof returned no hlo_stats for " + str(files))
     data = json.loads(out)
     tbl = data[0] if isinstance(data, list) else data
     cols = [c["id"] for c in tbl["cols"]]
